@@ -1,0 +1,116 @@
+"""Experiment configuration (replaces the reference's per-trainer argparse +
+GLOB.py hardcoded paths).
+
+One dataclass carries the ~30 flags shared by the four regimes
+(projects/supervised.py:245-289, projects/MT_UBPL.py:444-508) plus TPU-native
+knobs (mesh shape, dtype, donation).  String-boolean coercion ("True"/"False")
+from the reference's setArgs is handled in `override`.
+"""
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass
+class Config:
+    # Model
+    model: str = "HG3"                  # HG3 | HG2 | LitePose
+    feature_mode: str = "AvgPool"       # default | MaxPool | AvgPool | ConvOne
+    br_num: int = 2                     # ensemble branches (MT_UBPL/DualPose)
+    br_aug_num: int = 1                 # augmented views per branch
+    br_gt_num: int = 1                  # ground-truth sets per view
+
+    # Dataset
+    data_source: str = "Mouse"          # Mouse | FLIC | LSP | AP10K | FLY | Pranav
+    train_count: int = 100
+    valid_count: int = 500
+    label_ratio: float = 0.3
+    data_root: Optional[str] = None
+    cache_dir: Optional[str] = None
+
+    # Training strategy
+    epochs: int = 100
+    train_bs: int = 4
+    train_bs_labeled: int = 2
+    infer_bs: int = 128
+    lr: float = 2.5e-4
+    wd: float = 0.0
+    power: float = 0.9
+
+    # Augmentation
+    use_flip: bool = True
+    scale_range: float = 0.25
+    rot_range: float = 30.0
+    use_occlusion: bool = False
+    num_occluder: int = 8
+    # teacher-view augmentation (DualPose weak view)
+    scale_range_ema: float = 0.25
+    rot_range_ema: float = 30.0
+    use_occlusion_ema: bool = False
+    num_occluder_ema: int = 8
+
+    # Loss weights / SSL hyper-params
+    pose_weight: float = 10.0
+    cons_weight_max: float = 10.0
+    cons_weight_min: float = 0.0
+    cons_weight_rampup: int = 5
+    fdl_type: str = "covariance"        # covariance | distance
+    fdl_label: str = "labeled"          # all | labeled | unlabeled
+    fdl_weight_max: float = 1.0
+    fdl_weight_min: float = 1.0
+    fdl_weight_rampup: int = 100
+    use_ensemble_pseudo: bool = True
+    ensemble_pseudo_weight: float = 10.0
+    pseudo_weight_max: float = 1.0
+    pseudo_weight_min: float = 1.0
+    pseudo_weight_rampup: int = 100
+    pseudo_score_thr: float = 0.95
+    ema_decay: float = 0.999
+
+    # misc
+    seed: int = 1388
+    debug: bool = False
+    experiment_root: str = field(
+        default_factory=lambda: os.environ.get("UBPL_EXPR_ROOT", "./experiments"))
+    program: str = "ubpl_tpu-0.1"
+
+    # TPU-native
+    mesh_shape: Optional[Tuple[int, ...]] = None   # None -> all devices as dp
+    mesh_axes: Tuple[str, ...] = ("data",)
+    compute_dtype: str = "bfloat16"     # conv/matmul compute dtype
+    donate_state: bool = True
+    sync_bn: bool = False               # cross-replica BatchNorm
+    io_workers: int = 16
+
+    # filled from the datasource at setup
+    kps_count: int = 0
+    inp_res: int = 256
+    out_res: int = 64
+    pck_ref: Sequence[int] = ()
+    pck_thr: float = 0.5
+
+    def override(self, params: Optional[dict]):
+        """Reference setArgs: dict override + "True"/"False" coercion."""
+        if not params:
+            return self
+        for k, v in params.items():
+            if hasattr(self, k):
+                if v == "True":
+                    v = True
+                elif v == "False":
+                    v = False
+                setattr(self, k, v)
+        return self
+
+    def to_json(self, path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2, default=str)
+
+    @property
+    def n_stack(self):
+        if self.model.startswith("HG"):
+            return int(self.model[2:])
+        return 1

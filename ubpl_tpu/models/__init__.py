@@ -1,0 +1,6 @@
+from .hourglass import StackedHourglass        # noqa: F401
+from .litepose import LitePose                 # noqa: F401
+from .classification import VGG, ResNet, MobileNet  # noqa: F401
+from .factory import (create_pose_model, create_class_model, init_model,
+                      param_count)             # noqa: F401
+from .init_strategies import parameters_initialize  # noqa: F401

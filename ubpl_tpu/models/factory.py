@@ -1,0 +1,57 @@
+"""Model factories (reference models/pose/pose_model.py, models/classification/class_model.py).
+
+The torch factory hardcodes .cuda() and mutates params for the teacher
+("nograd"); in JAX device placement belongs to the caller's sharding and a
+teacher is simply a second param pytree updated by EMA under
+jax.lax.stop_gradient — so the factory only resolves architectures.
+"""
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .hourglass import StackedHourglass
+from .litepose import LitePose
+from .classification import VGG, ResNet, MobileNet
+
+POSE_MODELS = ("HG2", "HG3", "LitePose")
+CLASS_MODELS = ("VGG", "ResNet", "MobileNet")
+
+
+def create_pose_model(model_type: str, kps_count: int, mode: str = "AvgPool",
+                      axis_name: Optional[str] = None, dtype=None):
+    """Reference PoseModel factory: "HG{n}" -> StackedHourglass(nStack=n),
+    "LitePose" -> LitePose."""
+    if model_type.startswith("HG"):
+        n_stack = int(model_type[2:])
+        return StackedHourglass(k=kps_count, n_stack=n_stack, mode=mode,
+                                axis_name=axis_name, dtype=dtype)
+    if model_type == "LitePose":
+        return LitePose(k=kps_count, mode=mode, axis_name=axis_name,
+                        dtype=dtype)
+    raise ValueError(f"unknown pose model {model_type!r}")
+
+
+def create_class_model(model_type: str, num_classes: int, mode: str = "AvgPool",
+                       axis_name: Optional[str] = None, dtype=None):
+    """Reference ClassModel factory: VGG / ResNet / MobileNet CIFAR nets."""
+    if model_type == "VGG":
+        return VGG(num_classes=num_classes, mode=mode, axis_name=axis_name,
+                   dtype=dtype)
+    if model_type == "ResNet":
+        return ResNet(num_classes=num_classes, mode=mode, axis_name=axis_name,
+                      dtype=dtype)
+    if model_type == "MobileNet":
+        return MobileNet(num_classes=num_classes, mode=mode,
+                         axis_name=axis_name, dtype=dtype)
+    raise ValueError(f"unknown classification model {model_type!r}")
+
+
+def init_model(model, rng, sample_input, train=True):
+    """Initialize (params, batch_stats) for a model on a sample batch."""
+    variables = model.init(rng, sample_input, train=train)
+    return variables["params"], variables.get("batch_stats", {})
+
+
+def param_count(params):
+    return sum(int(jnp.size(p)) for p in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,56 @@
+"""Device mesh + sharding utilities.
+
+The reference is strictly single-GPU (no torch.distributed anywhere;
+SURVEY.md §2).  The TPU-native scaling surface is new: a
+jax.sharding.Mesh over ICI with
+
+  * "data"  — batch (data parallel); gradients/metrics reduce via XLA
+              collectives inserted by GSPMD
+  * "model" — the ensemble-branch axis of the dual-network regimes
+              (MT_UBPL/DualPose stack 2 students + 2 teachers on a leading
+              axis; sharding it gives branch parallelism)
+
+No explicit psum/all_reduce calls are needed: jit + sharding annotations let
+XLA place the collectives on ICI.  Cross-replica BatchNorm is available via
+the models' axis_name when shard_map-style semantics are wanted; under plain
+GSPMD the batch statistics are computed globally by construction.
+"""
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Optional[Tuple[int, ...]] = None,
+              axes: Sequence[str] = ("data",), devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devices),)
+        axes = axes[:1]
+    arr = np.asarray(devices[:int(np.prod(shape))]).reshape(shape)
+    return Mesh(arr, tuple(axes))
+
+
+def local_mesh_size() -> int:
+    return len(jax.devices())
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_over(mesh: Mesh, *axes) -> NamedSharding:
+    """NamedSharding spreading leading dims over the given mesh axes
+    (None entries replicate that dim)."""
+    return NamedSharding(mesh, P(*axes))
+
+
+def constrain_batch(x, mesh: Mesh, axis: str = "data"):
+    """Inside jit: pin the leading dim of x to the data axis."""
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))

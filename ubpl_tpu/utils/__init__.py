@@ -1,0 +1,2 @@
+from .logger import Logger                      # noqa: F401
+from .jsonlog import json_save, json_load       # noqa: F401
