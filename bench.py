@@ -1,0 +1,173 @@
+"""Benchmark: MT_UBPL training throughput (images/sec/chip).
+
+Runs the flagship fused MT_UBPL step (HG3, 2 branches x 2 views, full
+on-device augmentation + target synthesis) on the default JAX device and
+prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+Baseline: the reference PyTorch implementation measured on this machine's
+CPU (torch wheels here are CPU-only; no CUDA device exists in this
+environment).  The first run measures it and caches to BENCH_BASELINE.json;
+see BASELINE.md for the caveat that the reference's intended hardware is a
+single CUDA GPU.
+"""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
+
+BENCH_BS = int(os.environ.get("UBPL_BENCH_BS", "32"))
+BENCH_STEPS = int(os.environ.get("UBPL_BENCH_STEPS", "20"))
+
+
+def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS):
+    import jax
+    import jax.numpy as jnp
+    from ubpl_tpu.config import Config
+    from ubpl_tpu.train.mt_ubpl import MTUBPLTrainer
+
+    cfg = Config(model="HG3", synthetic_data=True, synthetic_kps=9,
+                 inp_res=256, out_res=64,
+                 train_count=max(4 * batch_size, 64),
+                 valid_count=8, label_ratio=0.5,
+                 train_bs=batch_size, train_bs_labeled=batch_size // 2,
+                 infer_bs=8, epochs=1, compute_dtype="bfloat16")
+    cfg.pck_ref = (1, 2)
+    cfg.pck_thr = 0.2
+    trainer = MTUBPLTrainer(cfg)
+    sched = trainer.epoch_schedules(0)
+    args = (sched["cons_weight"], sched["fdl_weight"],
+            sched["pseudo_weight"], sched["ema_alpha"])
+    sampler_batches = []
+    it = iter(trainer.make_sampler())
+    for _ in range(steps + 3):
+        try:
+            sampler_batches.append(jnp.asarray(next(it)))
+        except StopIteration:
+            it = iter(trainer.make_sampler())
+            sampler_batches.append(jnp.asarray(next(it)))
+    state = trainer.state
+    # warmup / compile
+    for i in range(3):
+        state, m = trainer.train_step(state, sampler_batches[i], i + 1, *args)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = trainer.train_step(state, sampler_batches[3 + i],
+                                      100 + i, *args)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt
+
+
+def measure_reference_cpu(steps=3):
+    """Measure the reference MT_UBPL train loop (PyTorch, CPU) on synthetic
+    Mouse-shaped batches.  Heavy; result is cached to BENCH_BASELINE.json."""
+    import types
+    import numpy as np
+    import torch
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    for m in ("skimage", "skimage.transform", "openpyxl", "openpyxl.styles",
+              "tqdm"):
+        mod = types.ModuleType(m)
+        mod.PatternFill = object
+        mod.tqdm = lambda x: x
+        sys.modules.setdefault(m, mod)
+    sys.path.insert(0, "/root/reference")
+    from models.pose.hourglass import StackedHourglass
+    from utils.losses import JointMSELoss, JointDistLoss, JointPseudoLoss3
+    from utils.process import ProcessUtils as proc
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    bs, K = 4, 9
+    models = [StackedHourglass(K, 3, "AvgPool") for _ in range(2)]
+    teachers = [StackedHourglass(K, 3, "AvgPool") for _ in range(2)]
+    for t in teachers:
+        for p in t.parameters():
+            p.detach_()
+    optims = [torch.optim.AdamW(m.parameters(), lr=2.5e-4) for m in models]
+    pose_c = JointMSELoss(nStack=3, useKPsGate=True, useSampleWeight=True)
+    cons_c = JointDistLoss()
+    pseudo_c = JointPseudoLoss3(nStack=3, scoreThr=0.95)
+    imgs = [torch.randn(bs, 3, 256, 256) for _ in range(2)]
+    hm = torch.rand(bs, K, 64, 64)
+    gate = torch.ones(bs, K)
+    sw = torch.tensor([[0.], [0.], [1.], [1.]])
+    sw_nega = torch.tensor([[1.], [1.], [0.], [0.]])
+
+    def one_step():
+        for o in optims:
+            o.zero_grad()
+        outs, feats, outs_ema = [], [], []
+        for m_i, model in enumerate(models):
+            po, fo, eo = [], [], []
+            for im in imgs:
+                out, feat = model(im)
+                po.append(out)
+                fo.append(feat)
+                with torch.no_grad():
+                    out_e, _ = teachers[m_i](im)
+                    eo.append(out_e)
+            outs.append(torch.stack(po))
+            feats.append(torch.stack(fo))
+            outs_ema.append(torch.stack(eo))
+        outs = torch.stack(outs)
+        feats = torch.stack(feats)
+        outs_ema = torch.stack(outs_ema)
+        totals = []
+        for m_i in range(2):
+            mtc = sum(cons_c(outs[m_i, a, :, -1], outs_ema[m_i, a, :, -1])[0]
+                      for a in range(2))
+            pec = sum(pose_c(outs[m_i, a], hm, gate, sw)[0] for a in range(2))
+            epc = sum(pseudo_c(outs[m_i, a], outs_ema[:, a].detach(),
+                               sw_nega)[0] for a in range(2))
+            fdc, _ = proc.features_cov(feats[0, 0], feats[1, 0])
+            totals.append(pec + mtc + epc + fdc)
+        for t in totals:
+            t.backward(retain_graph=True)
+        for o in optims:
+            o.step()
+
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    dt = time.perf_counter() - t0
+    return bs * steps / dt
+
+
+def get_baseline():
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)
+    base = {"reference_torch_cpu_images_per_sec": measure_reference_cpu(),
+            "note": "reference measured on host CPU (torch-cpu wheels; no "
+                    "CUDA device in this environment); reference's intended "
+                    "hardware is 1x CUDA GPU"}
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(base, f, indent=2)
+    return base
+
+
+def main():
+    baseline = get_baseline()
+    ref = baseline["reference_torch_cpu_images_per_sec"]
+    value = measure_ours()
+    print(json.dumps({
+        "metric": "MT_UBPL train throughput (HG3, fused step, "
+                  f"bs={BENCH_BS}, incl. on-device augmentation)",
+        "value": round(value, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / ref, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,8 +21,8 @@ def test_supervised_end_to_end(tmp_path):
     assert len(history) == 2
     for h in history:
         assert h["pec_loss"] > 0
-        assert len(h["accs"]) == cfg.kps_count + 1
-        assert 0.0 <= h["accs"][-1] <= 1.0
+        assert len(h["accs"][0]) == cfg.kps_count + 1
+        assert 0.0 <= h["accs"][0][-1] <= 1.0
     # loss should be finite and (almost surely) lower after an epoch of tiny data
     assert history[-1]["pec_loss"] < history[0]["pec_loss"] * 10
     # checkpoint written and restorable

@@ -84,6 +84,13 @@ class Config:
     sync_bn: bool = False               # cross-replica BatchNorm
     io_workers: int = 16
 
+    # synthetic data (benchmarks / multi-chip dryruns — no disk IO)
+    synthetic_data: bool = False
+    synthetic_kps: int = 9
+    # shrink resolutions below the datasource's native 256/64 (fast tests)
+    force_inp_res: Optional[int] = None
+    force_out_res: Optional[int] = None
+
     # filled from the datasource at setup
     kps_count: int = 0
     inp_res: int = 256

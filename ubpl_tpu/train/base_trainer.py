@@ -1,0 +1,347 @@
+"""Shared trainer skeleton for all four regimes.
+
+The reference duplicates the main()/train()/validate()/exec() skeleton across
+projects/{supervised,MT,MT_UBPL,DualPose_UBPL}.py; here the common epoch
+loop, data setup, multi-model validation, checkpointing, and JSON logging
+live once, and each regime supplies its compiled train step.
+"""
+import datetime
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data import get_datasource, materialize, valid_batches
+from ..models import create_pose_model, init_model, param_count
+from ..ops import heatmap as HM
+from ..ops import pck as PCK
+from ..ops import augment as A
+from ..utils import Logger, json_save
+from . import losses as L
+from .common import forward_heatmaps, put_dataset, update_pck_counters
+
+
+class BaseTrainer:
+    regime = "Base"
+    #: names of the validated heads; "mean" appends an ensemble-mean row
+    valid_heads: Tuple[str, ...] = ("model",)
+
+    def __init__(self, cfg: Config, logger=None, mesh=None):
+        self.cfg = cfg
+        self.logger = logger or Logger(f"{cfg.data_source}_{self.regime}")
+        self.mesh = mesh
+        self._setup_data()
+        self._setup_model()
+        if mesh is not None:
+            self._shard_for_mesh()
+        self._build_steps()
+        n = len(self.valid_heads)
+        self.best_acc = [-1.0] * n
+        self.best_epoch = [0] * n
+        self.epoch = 0
+        self._step_num = 0
+
+    # ------------------------------------------------------------------ data
+    def _setup_data(self):
+        if self.cfg.synthetic_data:
+            return self._setup_synthetic_data()
+        cfg = self.cfg
+        ds = get_datasource(cfg.data_source, data_root=cfg.data_root,
+                            cache_dir=cfg.cache_dir, seed=cfg.seed)
+        semi = ds.get_semi_data(cfg.train_count, cfg.valid_count,
+                                cfg.label_ratio)
+        cfg.kps_count = ds.kps_count
+        cfg.inp_res, cfg.out_res = ds.inp_res, ds.out_res
+        if cfg.force_inp_res:
+            cfg.inp_res = cfg.force_inp_res
+        if cfg.force_out_res:
+            cfg.out_res = cfg.force_out_res
+        cfg.pck_ref, cfg.pck_thr = tuple(ds.pck_ref), ds.pck_thr
+        self.semi = semi
+        self.labeled_idxs = list(semi.labeled_idxs)
+        self.unlabeled_idxs = list(semi.unlabeled_idxs)
+        self.train_data = put_dataset(
+            materialize(semi.semi_train, cfg.inp_res, cfg.io_workers),
+            semi.means)
+        self.valid_data = put_dataset(
+            materialize(semi.valid, cfg.inp_res, cfg.io_workers), semi.means)
+        self.rng = np.random.default_rng(cfg.seed)
+        self.means = jnp.asarray(semi.means, jnp.float32)
+
+    def _setup_synthetic_data(self):
+        """Random in-memory dataset for benchmarks and multi-chip dryruns."""
+        from ..data.arrays import PoseArrays
+        cfg = self.cfg
+        cfg.kps_count = cfg.synthetic_kps
+        cfg.pck_ref = cfg.pck_ref or (1, 2)
+        nprng = np.random.default_rng(cfg.seed)
+        n_train, n_valid = cfg.train_count, cfg.valid_count
+        K, R = cfg.kps_count, cfg.inp_res
+
+        def make(n):
+            imgs = nprng.integers(0, 256, (n, R, R, 3), dtype=np.uint8)
+            kps = np.zeros((n, K, 3), np.float32)
+            kps[..., 0:2] = nprng.uniform(16, R - 16, (n, K, 2))
+            kps[..., 2] = 1.0
+            return PoseArrays(imgs, kps, kps.copy(),
+                              np.ones((n,), np.int32),
+                              [str(i) for i in range(n)])
+
+        train = make(n_train)
+        n_lab = max(1, int(n_train * cfg.label_ratio))
+        train.islabeled[n_lab:] = 0
+        train.kps[n_lab:] = 0
+        self.semi = None
+        self.labeled_idxs = list(range(n_lab))
+        self.unlabeled_idxs = list(range(n_lab, n_train))
+        means = [0.5, 0.5, 0.5]
+        self.train_data = put_dataset(train, means)
+        self.valid_data = put_dataset(make(n_valid), means)
+        self.rng = np.random.default_rng(cfg.seed)
+        self.means = jnp.asarray(means, jnp.float32)
+
+    # ------------------------------------------------------------------ mesh
+    def _shard_for_mesh(self):
+        """Lay the state/data out over the mesh: stacked branch axis over
+        'model' (when present), everything else replicated; batches get
+        constrained to 'data' inside the step.  GSPMD inserts the ICI
+        collectives."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = self.mesh
+        repl = NamedSharding(mesh, P())
+        has_model = "model" in mesh.axis_names
+        n_branch = getattr(self, "n_models", None)
+
+        def place_state(x):
+            if (has_model and hasattr(x, "ndim") and x.ndim >= 1
+                    and n_branch and x.shape[0] == n_branch):
+                return jax.device_put(x, NamedSharding(
+                    mesh, P("model", *([None] * (x.ndim - 1)))))
+            return jax.device_put(x, repl)
+
+        self.state = jax.tree_util.tree_map(place_state, self.state)
+        self.train_data = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), self.train_data)
+        self.valid_data = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), self.valid_data)
+        self.means = jax.device_put(self.means, repl)
+
+    def make_branch_forward(self, model, dtype, train=True):
+        """Forward over the stacked branch axis [M, ...].
+
+        Without a 'model' mesh axis: vmap over stacked params (images
+        broadcast to a mapped axis — an unmapped conv operand makes vmap emit
+        grouped convs the SPMD partitioner can't split).
+
+        With a 'model' mesh axis: shard_map manual over 'model' (each branch
+        runs plain convs on its own submesh; 'data' stays GSPMD-auto inside)
+        — real branch parallelism on ICI.
+        """
+        n_models = self.n_models
+        mesh = self.mesh
+        use_smap = mesh is not None and "model" in mesh.axis_names
+
+        if not use_smap:
+            def fwd(params_m, bs_m, images):
+                images_m = jnp.broadcast_to(images,
+                                            (n_models,) + images.shape)
+
+                def one(p, b, x):
+                    return forward_heatmaps(model, p, b, x, train, dtype)
+
+                return jax.vmap(one)(params_m, bs_m, images_m)
+            return fwd
+
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def body(p_local, b_local, images):
+            p = jax.tree_util.tree_map(lambda t: t[0], p_local)
+            b = jax.tree_util.tree_map(lambda t: t[0], b_local)
+            (preds, feats), new_b = forward_heatmaps(model, p, b, images,
+                                                     train, dtype)
+            expand = lambda t: t[None]
+            return (expand(preds), expand(feats),
+                    jax.tree_util.tree_map(expand, new_b))
+
+        sm = shard_map(body, mesh=mesh,
+                       in_specs=(P("model"), P("model"), P()),
+                       out_specs=P("model"), check_vma=False,
+                       axis_names={"model"})
+
+        def fwd(params_m, bs_m, images):
+            preds, feats, new_bs = sm(params_m, bs_m, images)
+            return (preds, feats), new_bs
+
+        return fwd
+
+    def constrain_batch(self, x):
+        """Inside-step hint: shard the batch dim over the 'data' axis."""
+        if self.mesh is None or "data" not in self.mesh.axis_names:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P("data", *([None] * (x.ndim - 1)))))
+
+    # ----------------------------------------------------------------- model
+    def _make_model(self):
+        cfg = self.cfg
+        self.compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                              else None)
+        return create_pose_model(cfg.model, cfg.kps_count, cfg.feature_mode,
+                                 dtype=self.compute_dtype)
+
+    def _init_n(self, model, n: Optional[int]):
+        """Init one set of variables (n=None) or n stacked sets (branch axis)."""
+        cfg = self.cfg
+        sample = jnp.zeros((1, cfg.inp_res, cfg.inp_res, 3), jnp.float32)
+        if n is None:
+            return init_model(model, jax.random.PRNGKey(cfg.seed), sample)
+        ps, bs = [], []
+        for i in range(n):
+            p, b = init_model(model, jax.random.PRNGKey(cfg.seed + i), sample)
+            ps.append(p)
+            bs.append(b)
+        stack = lambda *xs: jnp.stack(xs)
+        return (jax.tree_util.tree_map(stack, *ps),
+                jax.tree_util.tree_map(stack, *bs))
+
+    def _log_model_init(self, params, label):
+        self.logger.print("L1", "=> initialized {} ({}) Structure (params: {:.2f}M)"
+                          .format(label, self.cfg.model,
+                                  param_count(params) / 1024 ** 2))
+
+    # ------------------------------------------------------------ validation
+    def _build_validate_multi(self, model, n_heads, with_mean):
+        """Jitted eval over stacked head variables [n_heads, ...]."""
+        cfg = self.cfg
+        means = self.means
+        dtype = self.compute_dtype
+        pck_ref = tuple(int(i) for i in cfg.pck_ref)
+        pck_thr = float(cfg.pck_thr)
+
+        @jax.jit
+        def step(params_stacked, bs_stacked, images_u8, kps):
+            B = images_u8.shape[0]
+            imgs = A.color_normalize(images_u8.astype(jnp.float32) / 255.0,
+                                     means)
+
+            def fwd(p, b):
+                (preds, _), _ = forward_heatmaps(model, p, b, imgs, False,
+                                                 dtype)
+                return preds[:, -1]
+
+            last = jax.vmap(fwd)(params_stacked, bs_stacked)  # [M, B, H, W, K]
+            center = jnp.full((B, 2), cfg.inp_res // 2, jnp.float32)
+            scale = jnp.full((B,), cfg.inp_res / 200.0, jnp.float32)
+            coords, coords_mean, scores, _ = HM.decode_heatmaps_mul(
+                last, center, scale, (cfg.out_res, cfg.out_res))
+            if with_mean:
+                coords = jnp.concatenate([coords, coords_mean[None]], 0)
+            errs, accs = jax.vmap(
+                lambda c: PCK.acc_pck(c, kps, pck_ref, pck_thr))(coords)
+            return coords, errs, accs
+
+        return step
+
+    def _validate_heads(self, validate_step, params_stacked, bs_stacked):
+        """Generic multi-head validation loop with reference counter weighting."""
+        cfg = self.cfg
+        n_heads = len(self.valid_heads)
+        acc_cs = [L.AvgCounters() for _ in range(n_heads)]
+        err_cs = [L.AvgCounters() for _ in range(n_heads)]
+        preds_arrays = [[] for _ in range(n_heads)]
+        k = cfg.kps_count
+        n = self.valid_data.images.shape[0]
+        for idxs in valid_batches(n, cfg.infer_bs):
+            imgs = self.valid_data.images[jnp.asarray(idxs)]
+            kps = self.valid_data.kps[jnp.asarray(idxs)]
+            coords, errs, accs = validate_step(params_stacked, bs_stacked,
+                                               imgs, kps)
+            coords, errs, accs = (np.asarray(coords), np.asarray(errs),
+                                  np.asarray(accs))
+            for m in range(n_heads):
+                preds_arrays[m] += coords[m].tolist()
+                update_pck_counters(acc_cs[m], err_cs[m], accs[m], errs[m],
+                                    len(idxs), k)
+        return (preds_arrays, [c.avg() for c in acc_cs],
+                [c.avg() for c in err_cs])
+
+    # ------------------------------------------------------------- main loop
+    def epoch_schedules(self, epo) -> dict:
+        """Per-epoch scalar hyper-params (overridden by SSL regimes)."""
+        return {}
+
+    def train_epoch(self, epo, schedules) -> dict:
+        raise NotImplementedError
+
+    def validate(self):
+        raise NotImplementedError
+
+    def format_epoch_log(self, losses, accs, errs) -> str:
+        head = self.valid_heads[-1]
+        return ("losses: " + ", ".join(f"{k}={v:.5f}" for k, v in losses.items())
+                + f" | [{head}] acc: {accs[-1][-1]:.5f}, err: {errs[-1][-1]:.3f}")
+
+    def run(self, base_path=None, start_epoch=0):
+        cfg = self.cfg
+        history = []
+        for epo in range(start_epoch, cfg.epochs):
+            epo_tm = datetime.datetime.now()
+            self.epoch = epo
+            schedules = self.epoch_schedules(epo)
+            losses = self.train_epoch(epo, schedules)
+            preds, accs, errs = self.validate()
+            is_best = []
+            for m in range(len(self.valid_heads)):
+                flag = accs[m][-1] > self.best_acc[m]
+                is_best.append(flag)
+                if flag:
+                    self.best_epoch[m], self.best_acc[m] = epo, accs[m][-1]
+            if base_path:
+                from .checkpointing import save_checkpoint
+                save_checkpoint(base_path, epo, self.state, is_best[-1],
+                                extra={"best_acc": self.best_acc,
+                                       "best_epoch": self.best_epoch})
+                if epo == start_epoch:
+                    cfg.to_json(f"{base_path}/logs/args.json")
+                json_save({**losses, "accs": accs, "errs": errs},
+                          f"{base_path}/logs/logData/logData_{epo + 1}.json",
+                          is_cover=True)
+                json_save({"predsArraies": preds},
+                          f"{base_path}/logs/pseudoData/pseudoData_{epo + 1}.json",
+                          is_cover=True)
+            self.logger.print(
+                "L1", "[{:3d}/{:3d}] | best acc: {:.5f} (epo: {:3d}) | {}"
+                .format(epo + 1, cfg.epochs, self.best_acc[-1],
+                        self.best_epoch[-1] + 1,
+                        self.format_epoch_log(losses, accs, errs)),
+                start=epo_tm)
+            history.append({**losses, "accs": accs, "errs": errs})
+        return history
+
+    # --------------------------------------------------------------- helpers
+    def sample_weights(self, islabeled, pseudo_weight):
+        """Reference ProjectTools weights (projects/tools.py:14-54):
+        pos (labeled=1, else 0), nega (unlabeled=pseudoWeight, else 0),
+        cons (labeled=1, unlabeled=pseudoWeight)."""
+        lab = (islabeled > 0).astype(jnp.float32)
+        pos = lab
+        nega = (1.0 - lab) * pseudo_weight
+        cons = lab + (1.0 - lab) * pseudo_weight
+        return pos, nega, cons
+
+
+def make_experiment(cfg: Config, exp_mark: str):
+    """Reference exec(): experiment naming + logger + base path."""
+    experiment = "{}({}_{})_{}_{}".format(
+        cfg.data_source, cfg.train_count, cfg.label_ratio, exp_mark,
+        datetime.datetime.now().strftime("%Y%m%d%H%M%S"))
+    base_path = f"{cfg.experiment_root}/{experiment}"
+    logger = Logger(experiment, base_path=base_path)
+    return experiment, base_path, logger

@@ -1,0 +1,222 @@
+"""DualPose(+UBPL) trainer (reference projects/DualPose_UBPL.py).
+
+Same dual-branch structure as MT_UBPL but with the DS_mt view pairing:
+ONE student view (full augmentation) and ONE independently-augmented *weak*
+teacher view (scaleRange_ema/rotRange_ema), plus a teacher-confidence-masked
+consistency (JointDistLoss_mt2 with cons sample weights: labeled=1,
+unlabeled=pseudoWeight).
+
+exec_home runs this trainer twice: "DualPose" (FDL off, no ensemble pseudo)
+and "DualPose_UBPL" (both on) — projects/exec.py:21-25.
+"""
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import TwoStreamBatchSampler
+from .base_trainer import BaseTrainer
+from .common import forward_heatmaps, make_view
+from .mt_ubpl import DualState
+from . import losses as L
+from . import schedules as S
+
+
+class DualPoseUBPLTrainer(BaseTrainer):
+    regime = "DualPose_UBPL"
+    valid_heads = ("teacher1", "teacher2", "mean")
+    n_models = 2
+
+    def _setup_model(self):
+        cfg = self.cfg
+        self.model = self._make_model()
+        params, batch_stats = self._init_n(self.model, self.n_models)
+        self.tx = optax.adamw(cfg.lr, weight_decay=cfg.wd)
+        self.state = DualState(params, batch_stats,
+                               jax.tree_util.tree_map(jnp.copy, params),
+                               jax.tree_util.tree_map(jnp.copy, batch_stats),
+                               self.tx.init(params))
+        self._log_model_init(params, "DualPose")
+
+    def _build_steps(self):
+        cfg = self.cfg
+        model, tx = self.model, self.tx
+        data = self.train_data
+        means = self.means
+        dtype = self.compute_dtype
+        base_key = jax.random.PRNGKey(cfg.seed)
+        pose_weight = float(cfg.pose_weight)
+        epc_weight = float(cfg.ensemble_pseudo_weight)
+        score_thr = float(cfg.pseudo_score_thr)
+        use_epc = bool(cfg.use_ensemble_pseudo)
+        fdl_cov = cfg.fdl_type == "covariance"
+        fdl_label = cfg.fdl_label
+        use_fdl = cfg.fdl_weight_max > 0 or cfg.fdl_weight_min > 0
+
+        branch_fwd = self.make_branch_forward(model, dtype, train=True)
+
+        def fwd_stacked(params_m, bs_m, images, train=True):
+            return branch_fwd(params_m, bs_m, images)
+
+        def step(state: DualState, idxs, step_num, cons_weight, fdl_weight,
+                 pseudo_weight, ema_alpha):
+            rng = jax.random.fold_in(base_key, step_num)
+            imgs = self.constrain_batch(data.images[idxs])
+            kps = self.constrain_batch(data.kps[idxs])
+            islabeled = data.islabeled[idxs]
+            sw_pos, sw_nega, sw_cons = self.sample_weights(islabeled,
+                                                           pseudo_weight)
+            # student view: full augmentation; teacher view: weak (DS_mt)
+            stu = make_view(jax.random.fold_in(rng, 0), imgs, kps, means, cfg,
+                            augment=True)
+            ema = make_view(jax.random.fold_in(rng, 1), imgs, kps, means, cfg,
+                            augment=True, scale_range=cfg.scale_range_ema,
+                            rot_range=cfg.rot_range_ema)
+
+            ema_bs = state.ema_batch_stats
+            (outs_ema, _), ema_bs = fwd_stacked(state.ema_params, ema_bs,
+                                                ema.images, True)
+            outs_ema = jax.lax.stop_gradient(outs_ema)  # [M, B, S, H, W, K]
+
+            def loss_fn(params):
+                (outs, feats), bs_state = fwd_stacked(params,
+                                                      state.batch_stats,
+                                                      stu.images, True)
+                M = self.n_models
+                mtc_sum = jnp.zeros((M,))
+                mtc_count = jnp.zeros((M,))
+                pec_sum = jnp.zeros((M,))
+                pec_count = jnp.zeros((M,))
+                epc_sum = jnp.zeros((M,))
+                epc_count = jnp.zeros((M,))
+                n_pseudo, n_sel = 0.0, 0.0
+                for m in range(M):
+                    s, n, _ = L.joint_dist_mt2(outs[m][:, -1],
+                                               outs_ema[m][:, -1],
+                                               sample_weight=sw_cons,
+                                               use_sample_weight=True,
+                                               score_thr=score_thr)
+                    mtc_sum, mtc_count = mtc_sum.at[m].add(s), mtc_count.at[m].add(n)
+                    s, n = L.joint_mse(outs[m], stu.heatmaps, stu.gate, sw_pos,
+                                       use_gate=True, use_sample_weight=True)
+                    pec_sum, pec_count = pec_sum.at[m].add(s), pec_count.at[m].add(n)
+                    if use_epc:
+                        s, stats = L.joint_pseudo3(outs[m], outs_ema, sw_nega,
+                                                   score_thr)
+                        epc_sum = epc_sum.at[m].add(s)
+                        epc_count = epc_count.at[m].add(stats.num_pseudo)
+                        n_pseudo += stats.num_pseudo
+                        n_sel += stats.num_selected
+
+                def weighted(sums, counts, w):
+                    return w * jnp.where(counts > 0,
+                                         sums / jnp.maximum(counts, 1), sums)
+
+                mtc = weighted(mtc_sum, mtc_count, cons_weight)
+                pec = weighted(pec_sum, pec_count, pose_weight)
+                epc = (weighted(epc_sum, epc_count, epc_weight) if use_epc
+                       else jnp.zeros((M,)))
+
+                fdc = 0.0
+                fdc_count = 0.0
+                if use_fdl:
+                    fdl_mask = {"labeled": sw_pos > 0,
+                                "unlabeled": sw_pos == 0,
+                                "all": jnp.ones_like(sw_pos, bool)}[fdl_label]
+                    if fdl_cov:
+                        c, n = L.features_cov_masked(feats[0], feats[1],
+                                                     fdl_mask)
+                    else:
+                        c, n = L.joint_feature_dist_masked(feats[0], feats[1],
+                                                           fdl_mask)
+                    fdc = fdl_weight * jnp.where(n > 0, c / jnp.maximum(n, 1), c)
+                    fdc_count = n
+                total = jnp.sum(pec + mtc + epc) + 2.0 * fdc
+                aux = {"pec": pec, "pec_count": pec_count,
+                       "mtc": mtc, "mtc_count": mtc_count,
+                       "epc": epc, "epc_count": epc_count,
+                       "fdc": fdc, "fdc_count": fdc_count,
+                       "n_pseudo": n_pseudo, "n_sel": n_sel,
+                       "batch_stats": bs_state}
+                return total, aux
+
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: ema_alpha * e + (1.0 - ema_alpha) * p,
+                state.ema_params, params)
+            new_state = DualState(params, aux.pop("batch_stats"), ema_params,
+                                  ema_bs, new_opt)
+            return new_state, aux
+
+        donate = (0,) if cfg.donate_state else ()
+        self.train_step = jax.jit(step, donate_argnums=donate)
+        self.validate_step = self._build_validate_multi(self.model,
+                                                        self.n_models, True)
+
+    epoch_schedules = None  # assigned below to share MT_UBPL's schedules
+
+    def make_sampler(self):
+        cfg = self.cfg
+        return TwoStreamBatchSampler(self.unlabeled_idxs, self.labeled_idxs,
+                                     cfg.train_bs, cfg.train_bs_labeled,
+                                     self.rng)
+
+    def train_epoch(self, epo, schedules):
+        M = self.n_models
+        pec_cs = [L.AvgCounter() for _ in range(M)]
+        mtc_cs = [L.AvgCounter() for _ in range(M)]
+        epc_cs = [L.AvgCounter() for _ in range(M)]
+        fdc_c = L.AvgCounter()
+        for idxs in self.make_sampler():
+            self._step_num += 1
+            self.state, m = self.train_step(
+                self.state, jnp.asarray(idxs), self._step_num,
+                schedules["cons_weight"], schedules["fdl_weight"],
+                schedules["pseudo_weight"], schedules["ema_alpha"])
+            for i in range(M):
+                pec_cs[i].update(float(m["pec"][i]), int(m["pec_count"][i]))
+                mtc_cs[i].update(float(m["mtc"][i]), int(m["mtc_count"][i]))
+                epc_cs[i].update(float(m["epc"][i]), max(int(m["epc_count"][i]), 1))
+            fdc_c.update(float(m["fdc"]), max(int(m["fdc_count"]), 1))
+        return {"pec_losses": [c.avg for c in pec_cs],
+                "mtc_losses": [c.avg for c in mtc_cs],
+                "epc_losses": [c.avg for c in epc_cs],
+                "fdc_loss": fdc_c.avg}
+
+    def validate(self):
+        return self._validate_heads(self.validate_step,
+                                    self.state.ema_params,
+                                    self.state.ema_batch_stats)
+
+    def format_epoch_log(self, losses, accs, errs):
+        return ("pec: [{}] | mtc: [{}] | epc: [{}] | fdc: {:.5f} | "
+                "mean acc: {:.5f}, err: {:.3f}".format(
+                    ", ".join(f"{v:.5f}" for v in losses["pec_losses"]),
+                    ", ".join(f"{v:.5f}" for v in losses["mtc_losses"]),
+                    ", ".join(f"{v:.5f}" for v in losses["epc_losses"]),
+                    losses["fdc_loss"], accs[-1][-1], errs[-1][-1]))
+
+
+# DualPose shares MT_UBPL's epoch schedules (cons/FDL/pseudo ramps + EMA)
+from .mt_ubpl import MTUBPLTrainer as _M  # noqa: E402
+DualPoseUBPLTrainer.epoch_schedules = _M.epoch_schedules
+
+
+def exec_regime(exp_mark="DualPose_UBPL", params=None):
+    from ..config import Config
+    from .base_trainer import make_experiment
+    cfg = Config().override(params)
+    # the reference's DualPose defaults weaken the teacher view
+    # (projects/DualPose_UBPL.py exec grid uses scaleRange_ema=0.05, rotRange_ema=5.0)
+    if params is None or "scale_range_ema" not in params:
+        cfg.scale_range_ema = 0.05
+    if params is None or "rot_range_ema" not in params:
+        cfg.rot_range_ema = 5.0
+    np.random.seed(cfg.seed)
+    _, base_path, logger = make_experiment(cfg, exp_mark)
+    return DualPoseUBPLTrainer(cfg, logger).run(base_path)

@@ -80,6 +80,41 @@ def joint_feature_dist(f1, f2):
     return jnp.sum(loss), B * N
 
 
+def joint_feature_dist_masked(f1, f2, sample_mask):
+    """JointFeatureDistLoss restricted to samples with mask > 0 — the
+    fixed-shape equivalent of the reference's Python selection loop
+    (projects/MT_UBPL.py:306-320).  Returns (sum, count = n_sel * N)."""
+    B, N = f1.shape[0], f1.shape[1]
+    C = f1.shape[-1]
+    v1 = jnp.moveaxis(f1, -1, 2).reshape(B, N, C, -1)
+    v2 = jnp.moveaxis(f2, -1, 2).reshape(B, N, C, -1)
+    loss = jnp.mean((v1 - v2) ** 2, axis=-1)  # [B, N, C]
+    m = (sample_mask > 0).astype(loss.dtype)
+    return jnp.sum(loss * m[:, None, None]), jnp.sum(m) * N
+
+
+def features_cov_masked(f1, f2, sample_mask):
+    """features_cov restricted to samples with mask > 0.
+
+    Matches stacking the selected samples then calling the reference
+    features_cov (utils/process.py:18-31): returns (mean |cov01| over the
+    selected set, count = n_sel * N * C).
+    """
+    B, N = f1.shape[0], f1.shape[1]
+    C = f1.shape[-1]
+    v1 = jnp.moveaxis(f1, -1, 2).reshape(B, N, C, -1)
+    v2 = jnp.moveaxis(f2, -1, 2).reshape(B, N, C, -1)
+    hw = v1.shape[-1]
+    m1 = v1 - jnp.mean(v1, axis=-1, keepdims=True)
+    m2 = v2 - jnp.mean(v2, axis=-1, keepdims=True)
+    cov01 = jnp.sum(m1 * m2, axis=-1) / (hw - 1)          # [B, N, C]
+    m = (sample_mask > 0).astype(cov01.dtype)
+    n_sel = jnp.sum(m)
+    mean_val = jnp.sum(jnp.abs(cov01) * m[:, None, None]) / (
+        jnp.maximum(n_sel, 1) * N * C)
+    return mean_val, n_sel * N * C
+
+
 class PseudoStats(NamedTuple):
     num_pseudo: jnp.ndarray       # #loss entries > 0 (reference n)
     num_selected: jnp.ndarray     # #mask entries > 0

@@ -1,0 +1,255 @@
+"""MT+UBPL trainer — the flagship regime (reference projects/MT_UBPL.py).
+
+Two (student + EMA-teacher) branches over two augmented views with four
+constraints per step:
+  PEC  gated pose MSE on labeled samples           (MT_UBPL.py:258-268)
+  MTC  consistency vs own teacher, last stacks      (:246-256)
+  EPC  ensemble pseudo-label loss: target = mean of BOTH teachers' last
+       stacks, confidence-masked at pseudoScoreThr, unlabeled only (:270-298)
+  FDC  feature decorrelation between the two branches on labeled samples
+       (:300-331); the reference backs total_loss through both models with
+       retain_graph so FDC's gradient lands TWICE in each branch — we keep
+       that exact semantics via a 2x FDC term in the summed loss.
+
+TPU-native structure: the 2-branch ensemble is a leading axis vmapped over
+stacked params (instead of Python loops over nn.Modules), so the step runs
+2 student + 2 teacher hourglass passes per view as single batched XLA
+programs.  Everything — augmentation, 8 forwards, 4 losses, backward for
+both branches, both EMA updates — is one jitted, state-donating call.
+"""
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import TwoStreamBatchSampler
+from .base_trainer import BaseTrainer
+from .common import forward_heatmaps, make_view
+from . import losses as L
+from . import schedules as S
+
+
+class DualState(NamedTuple):
+    params: dict           # stacked [M, ...]
+    batch_stats: dict      # stacked [M, ...]
+    ema_params: dict       # stacked [M, ...]
+    ema_batch_stats: dict  # stacked [M, ...]
+    opt_state: tuple
+
+
+class MTUBPLTrainer(BaseTrainer):
+    regime = "MT_UBPL"
+    valid_heads = ("teacher1", "teacher2", "mean")
+    n_models = 2
+
+    @property
+    def n_views(self):
+        return self.cfg.br_num * self.cfg.br_aug_num  # 2 by default
+
+    # ----------------------------------------------------------------- setup
+    def _setup_model(self):
+        cfg = self.cfg
+        self.model = self._make_model()
+        params, batch_stats = self._init_n(self.model, self.n_models)
+        self.tx = optax.adamw(cfg.lr, weight_decay=cfg.wd)
+        self.state = DualState(params, batch_stats,
+                               jax.tree_util.tree_map(jnp.copy, params),
+                               jax.tree_util.tree_map(jnp.copy, batch_stats),
+                               self.tx.init(params))
+        self._log_model_init(params, "MDSs")
+
+    # ----------------------------------------------------------------- steps
+    def _build_steps(self):
+        cfg = self.cfg
+        model, tx = self.model, self.tx
+        data = self.train_data
+        means = self.means
+        dtype = self.compute_dtype
+        base_key = jax.random.PRNGKey(cfg.seed)
+        pose_weight = float(cfg.pose_weight)
+        epc_weight = float(cfg.ensemble_pseudo_weight)
+        score_thr = float(cfg.pseudo_score_thr)
+        use_epc = bool(cfg.use_ensemble_pseudo)
+        fdl_cov = cfg.fdl_type == "covariance"
+        fdl_label = cfg.fdl_label
+        n_views = self.n_views
+
+        branch_fwd = self.make_branch_forward(model, dtype, train=True)
+
+        def fwd_stacked(params_m, bs_m, images, train=True):
+            return branch_fwd(params_m, bs_m, images)
+
+        def step(state: DualState, idxs, step_num, cons_weight, fdl_weight,
+                 pseudo_weight, ema_alpha):
+            rng = jax.random.fold_in(base_key, step_num)
+            imgs = self.constrain_batch(data.images[idxs])
+            kps = self.constrain_batch(data.kps[idxs])
+            islabeled = data.islabeled[idxs]
+            sw_pos, sw_nega, _ = self.sample_weights(islabeled, pseudo_weight)
+            views = [make_view(jax.random.fold_in(rng, a), imgs, kps, means,
+                               cfg, augment=True) for a in range(n_views)]
+
+            # teachers (no grad; train-mode BN, reference MT_UBPL.py:235-238)
+            ema_bs = state.ema_batch_stats
+            outs_ema = []
+            for v in views:
+                (p_ema, _), ema_bs = fwd_stacked(state.ema_params, ema_bs,
+                                                 v.images, True)
+                outs_ema.append(jax.lax.stop_gradient(p_ema))  # [M,B,S,H,W,K]
+
+            def loss_fn(params):
+                bs_state = state.batch_stats
+                outs, feats = [], []
+                for v in views:
+                    (p, f), bs_state = fwd_stacked(params, bs_state, v.images,
+                                                   True)
+                    outs.append(p)   # [M, B, S, H, W, K]
+                    feats.append(f)  # [M, B, S, hf, wf, C]
+
+                mtc_sum = jnp.zeros((self.n_models,))
+                mtc_count = jnp.zeros((self.n_models,))
+                pec_sum = jnp.zeros((self.n_models,))
+                pec_count = jnp.zeros((self.n_models,))
+                epc_sum = jnp.zeros((self.n_models,))
+                epc_count = jnp.zeros((self.n_models,))
+                n_pseudo = 0.0
+                n_sel = 0.0
+                for a, v in enumerate(views):
+                    for m in range(self.n_models):
+                        s, n = L.joint_dist(outs[a][m][:, -1],
+                                            outs_ema[a][m][:, -1])
+                        mtc_sum = mtc_sum.at[m].add(s)
+                        mtc_count = mtc_count.at[m].add(n)
+                        s, n = L.joint_mse(outs[a][m], v.heatmaps, v.gate,
+                                           sw_pos, use_gate=True,
+                                           use_sample_weight=True)
+                        pec_sum = pec_sum.at[m].add(s)
+                        pec_count = pec_count.at[m].add(n)
+                        if use_epc:
+                            s, stats = L.joint_pseudo3(outs[a][m], outs_ema[a],
+                                                       sw_nega, score_thr)
+                            epc_sum = epc_sum.at[m].add(s)
+                            epc_count = epc_count.at[m].add(stats.num_pseudo)
+                            n_pseudo += stats.num_pseudo
+                            n_sel += stats.num_selected
+
+                def weighted(sums, counts, w):
+                    return w * jnp.where(counts > 0,
+                                         sums / jnp.maximum(counts, 1), sums)
+
+                mtc = weighted(mtc_sum, mtc_count, cons_weight)
+                pec = weighted(pec_sum, pec_count, pose_weight)
+                epc = (weighted(epc_sum, epc_count, epc_weight) if use_epc
+                       else jnp.zeros((self.n_models,)))
+
+                # FDC between the two branches, per view, label-filtered
+                fdl_mask = {"labeled": sw_pos > 0, "unlabeled": sw_pos == 0,
+                            "all": jnp.ones_like(sw_pos, bool)}[fdl_label]
+                fdc_sum, fdc_count = 0.0, 0.0
+                for a in range(n_views):
+                    if fdl_cov:
+                        c, n = L.features_cov_masked(feats[a][0], feats[a][1],
+                                                     fdl_mask)
+                    else:
+                        c, n = L.joint_feature_dist_masked(feats[a][0],
+                                                           feats[a][1],
+                                                           fdl_mask)
+                    fdc_sum, fdc_count = fdc_sum + c, fdc_count + n
+                fdc = fdl_weight * jnp.where(fdc_count > 0,
+                                             fdc_sum / jnp.maximum(fdc_count, 1),
+                                             fdc_sum)
+                # reference backs each branch's total (incl. the shared FDC)
+                # with retain_graph; summed grads see FDC twice (see module doc)
+                total = jnp.sum(pec + mtc + epc) + 2.0 * fdc
+                aux = {"pec": pec, "pec_count": pec_count,
+                       "mtc": mtc, "mtc_count": mtc_count,
+                       "epc": epc, "epc_count": epc_count,
+                       "fdc": fdc, "fdc_count": fdc_count,
+                       "n_pseudo": n_pseudo, "n_sel": n_sel,
+                       "batch_stats": bs_state}
+                return total, aux
+
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: ema_alpha * e + (1.0 - ema_alpha) * p,
+                state.ema_params, params)
+            new_state = DualState(params, aux.pop("batch_stats"), ema_params,
+                                  ema_bs, new_opt)
+            return new_state, aux
+
+        donate = (0,) if cfg.donate_state else ()
+        self.train_step = jax.jit(step, donate_argnums=donate)
+        # validate both teachers + their prediction mean (MT_UBPL.py:355-408)
+        self.validate_step = self._build_validate_multi(self.model,
+                                                        self.n_models, True)
+
+    # ------------------------------------------------------------------ loop
+    def epoch_schedules(self, epo):
+        cfg = self.cfg
+        return {
+            "cons_weight": S.cons_weight(epo, cfg.cons_weight_max,
+                                         cfg.cons_weight_min,
+                                         cfg.cons_weight_rampup),
+            "fdl_weight": S.fdl_weight(epo, cfg.fdl_weight_max,
+                                       cfg.fdl_weight_min,
+                                       cfg.fdl_weight_rampup),
+            "pseudo_weight": S.pseudo_weight(epo, cfg.pseudo_weight_max,
+                                             cfg.pseudo_weight_min,
+                                             cfg.pseudo_weight_rampup),
+            "ema_alpha": S.ema_alpha(epo, cfg.ema_decay),
+        }
+
+    def make_sampler(self):
+        cfg = self.cfg
+        return TwoStreamBatchSampler(self.unlabeled_idxs, self.labeled_idxs,
+                                     cfg.train_bs, cfg.train_bs_labeled,
+                                     self.rng)
+
+    def train_epoch(self, epo, schedules):
+        M = self.n_models
+        pec_cs = [L.AvgCounter() for _ in range(M)]
+        mtc_cs = [L.AvgCounter() for _ in range(M)]
+        epc_cs = [L.AvgCounter() for _ in range(M)]
+        fdc_c = L.AvgCounter()
+        for idxs in self.make_sampler():
+            self._step_num += 1
+            self.state, m = self.train_step(
+                self.state, jnp.asarray(idxs), self._step_num,
+                schedules["cons_weight"], schedules["fdl_weight"],
+                schedules["pseudo_weight"], schedules["ema_alpha"])
+            for i in range(M):
+                pec_cs[i].update(float(m["pec"][i]), int(m["pec_count"][i]))
+                mtc_cs[i].update(float(m["mtc"][i]), int(m["mtc_count"][i]))
+                epc_cs[i].update(float(m["epc"][i]), max(int(m["epc_count"][i]), 1))
+            fdc_c.update(float(m["fdc"]), max(int(m["fdc_count"]), 1))
+        return {"pec_losses": [c.avg for c in pec_cs],
+                "mtc_losses": [c.avg for c in mtc_cs],
+                "epc_losses": [c.avg for c in epc_cs],
+                "fdc_loss": fdc_c.avg}
+
+    def validate(self):
+        return self._validate_heads(self.validate_step,
+                                    self.state.ema_params,
+                                    self.state.ema_batch_stats)
+
+    def format_epoch_log(self, losses, accs, errs):
+        return ("pec: [{}] | mtc: [{}] | epc: [{}] | fdc: {:.5f} | "
+                "mean acc: {:.5f}, err: {:.3f}".format(
+                    ", ".join(f"{v:.5f}" for v in losses["pec_losses"]),
+                    ", ".join(f"{v:.5f}" for v in losses["mtc_losses"]),
+                    ", ".join(f"{v:.5f}" for v in losses["epc_losses"]),
+                    losses["fdc_loss"], accs[-1][-1], errs[-1][-1]))
+
+
+def exec_regime(exp_mark="MT_UBPL", params=None):
+    from ..config import Config
+    from .base_trainer import make_experiment
+    cfg = Config().override(params)
+    np.random.seed(cfg.seed)
+    _, base_path, logger = make_experiment(cfg, exp_mark)
+    return MTUBPLTrainer(cfg, logger).run(base_path)

@@ -5,7 +5,6 @@ poseWeight, PCK model selection.  The whole per-batch pipeline — batch
 gather, flip/noise/affine augmentation, Gaussian target synthesis, forward,
 loss, backward, optimizer — is ONE jitted step with donated state.
 """
-import datetime
 from typing import NamedTuple
 
 import jax
@@ -13,13 +12,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..config import Config
-from ..data import get_datasource, materialize, supervised_epoch_batches, valid_batches
-from ..models import create_pose_model, init_model, param_count
-from ..utils import Logger, json_save
+from ..data import supervised_epoch_batches
+from .base_trainer import BaseTrainer
+from .common import build_validate_step, forward_heatmaps, make_view
 from . import losses as L
-from .common import (DeviceDataset, build_validate_step, forward_heatmaps,
-                     make_view, put_dataset, update_pck_counters)
 
 
 class TrainState(NamedTuple):
@@ -28,67 +24,31 @@ class TrainState(NamedTuple):
     opt_state: tuple
 
 
-class SupervisedTrainer:
+class SupervisedTrainer(BaseTrainer):
     regime = "Supervised"
-
-    def __init__(self, cfg: Config, logger=None):
-        self.cfg = cfg
-        self.logger = logger or Logger(cfg.data_source + "_" + self.regime)
-        self._setup_data()
-        self._setup_model()
-        self._build_steps()
-        self.best_acc = -1.0
-        self.best_epoch = 0
-
-    # -- setup ---------------------------------------------------------------
-    def _setup_data(self):
-        cfg = self.cfg
-        ds = get_datasource(cfg.data_source, data_root=cfg.data_root,
-                            cache_dir=cfg.cache_dir, seed=cfg.seed)
-        semi = ds.get_semi_data(cfg.train_count, cfg.valid_count,
-                                cfg.label_ratio)
-        cfg.kps_count = ds.kps_count
-        cfg.inp_res, cfg.out_res = ds.inp_res, ds.out_res
-        cfg.pck_ref, cfg.pck_thr = tuple(ds.pck_ref), ds.pck_thr
-        self.semi = semi
-        self.labeled_idxs = list(semi.labeled_idxs)
-        self.unlabeled_idxs = list(semi.unlabeled_idxs)
-        train_arrays = materialize(semi.semi_train, cfg.inp_res,
-                                   cfg.io_workers)
-        valid_arrays = materialize(semi.valid, cfg.inp_res, cfg.io_workers)
-        self.train_data = put_dataset(train_arrays, semi.means)
-        self.valid_data = put_dataset(valid_arrays, semi.means)
-        self.rng = np.random.default_rng(cfg.seed)
+    valid_heads = ("model",)
 
     def _setup_model(self):
         cfg = self.cfg
-        self.compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-                              else None)
-        self.model = create_pose_model(cfg.model, cfg.kps_count,
-                                       cfg.feature_mode,
-                                       dtype=self.compute_dtype)
-        sample = jnp.zeros((1, cfg.inp_res, cfg.inp_res, 3), jnp.float32)
-        params, batch_stats = init_model(self.model,
-                                         jax.random.PRNGKey(cfg.seed), sample)
+        self.model = self._make_model()
+        params, batch_stats = self._init_n(self.model, None)
         self.tx = optax.adamw(cfg.lr, weight_decay=cfg.wd)
         self.state = TrainState(params, batch_stats, self.tx.init(params))
-        self.logger.print("L1", "=> initialized {} model (params: {:.2f}M)"
-                          .format(cfg.model, param_count(params) / 1024 ** 2))
+        self._log_model_init(params, "Supervised")
 
-    # -- compiled steps --------------------------------------------------------
     def _build_steps(self):
         cfg = self.cfg
         model, tx = self.model, self.tx
         data = self.train_data
-        means = jnp.asarray(self.semi.means, jnp.float32)
+        means = self.means
+        dtype = self.compute_dtype
         base_key = jax.random.PRNGKey(cfg.seed)
         pose_weight = float(cfg.pose_weight)
-        dtype = self.compute_dtype
 
         def step(state: TrainState, idxs, step_num):
             rng = jax.random.fold_in(base_key, step_num)
-            imgs = data.images[idxs]
-            kps = data.kps[idxs]
+            imgs = self.constrain_batch(data.images[idxs])
+            kps = self.constrain_batch(data.kps[idxs])
             view = make_view(rng, imgs, kps, means, cfg, augment=True)
 
             def loss_fn(params):
@@ -107,27 +67,28 @@ class SupervisedTrainer:
 
         donate = (0,) if cfg.donate_state else ()
         self.train_step = jax.jit(step, donate_argnums=donate)
-        self.validate_step = build_validate_step(model, cfg, self.semi.means,
-                                                 dtype)
-        self._step_num = 0
+        self.validate_step = build_validate_step(
+            model, cfg, np.asarray(self.means), dtype)
 
-    # -- epoch loops -----------------------------------------------------------
-    def train_epoch(self, epo):
+    def epoch_schedules(self, epo):
+        return {}
+
+    def train_epoch(self, epo, schedules=None):
         cfg = self.cfg
         pec_counter = L.AvgCounter()
-        batches = supervised_epoch_batches(self.labeled_idxs, cfg.train_bs,
-                                           self.rng)
-        for idxs in batches:
+        for idxs in supervised_epoch_batches(self.labeled_idxs, cfg.train_bs,
+                                             self.rng):
             self._step_num += 1
-            self.state, metrics = self.train_step(
-                self.state, jnp.asarray(idxs), self._step_num)
-            pec_counter.update(float(metrics["pec_loss"]),
-                               int(metrics["pec_count"]))
-        return pec_counter.avg
+            self.state, m = self.train_step(self.state, jnp.asarray(idxs),
+                                            self._step_num)
+            pec_counter.update(float(m["pec_loss"]), int(m["pec_count"]))
+        return {"pec_loss": pec_counter.avg}
 
     def validate(self):
         cfg = self.cfg
-        acc_counters, err_counters = L.AvgCounters(), L.AvgCounters()
+        from ..data import valid_batches
+        from .common import update_pck_counters
+        acc_c, err_c = L.AvgCounters(), L.AvgCounters()
         preds_array = []
         k = cfg.kps_count
         n = self.valid_data.images.shape[0]
@@ -137,54 +98,19 @@ class SupervisedTrainer:
             coords, scores, errs, accs = self.validate_step(
                 self.state.params, self.state.batch_stats, imgs, kps)
             preds_array += np.asarray(coords).tolist()
-            update_pck_counters(acc_counters, err_counters,
-                                np.asarray(accs), np.asarray(errs),
-                                len(idxs), k)
-        return preds_array, acc_counters.avg(), err_counters.avg()
+            update_pck_counters(acc_c, err_c, np.asarray(accs),
+                                np.asarray(errs), len(idxs), k)
+        return [preds_array], [acc_c.avg()], [err_c.avg()]
 
-    # -- driver (reference main()) ----------------------------------------------
-    def run(self, base_path=None):
-        cfg = self.cfg
-        logger = self.logger
-        history = []
-        for epo in range(cfg.epochs):
-            epo_tm = datetime.datetime.now()
-            pec_loss = self.train_epoch(epo)
-            preds, accs, errs = self.validate()
-            is_best = accs[-1] > self.best_acc
-            if is_best:
-                self.best_epoch, self.best_acc = epo, accs[-1]
-            if base_path:
-                from .checkpointing import save_checkpoint
-                save_checkpoint(base_path, epo, self.state, is_best,
-                                extra={"best_acc": self.best_acc,
-                                       "best_epoch": self.best_epoch})
-                if epo == 0:
-                    cfg.to_json(f"{base_path}/logs/args.json")
-                json_save({"pec_loss": pec_loss, "accs": accs, "errs": errs},
-                          f"{base_path}/logs/logData/logData_{epo + 1}.json",
-                          is_cover=True)
-                json_save({"predsArray": preds},
-                          f"{base_path}/logs/pseudoData/pseudoData_{epo + 1}.json",
-                          is_cover=True)
-            logger.print(
-                "L1",
-                "[{:3d}/{:3d}] | pec_loss: {:.5f} | best acc: {:.5f} (epo: {:3d})"
-                " | acc: {:.5f}, err: {:.3f}".format(
-                    epo + 1, cfg.epochs, pec_loss, self.best_acc,
-                    self.best_epoch + 1, accs[-1], errs[-1]), start=epo_tm)
-            history.append({"pec_loss": pec_loss, "accs": accs, "errs": errs})
-        return history
+    def format_epoch_log(self, losses, accs, errs):
+        return "pec_loss: {:.5f} | acc: {:.5f}, err: {:.3f}".format(
+            losses["pec_loss"], accs[0][-1], errs[0][-1])
 
 
 def exec_regime(exp_mark="Supervised", params=None):
-    """Reference supervised.exec: seed + config + experiment naming + run."""
+    from ..config import Config
+    from .base_trainer import make_experiment
     cfg = Config().override(params)
     np.random.seed(cfg.seed)
-    experiment = "{}({}_{})_{}_{}".format(
-        cfg.data_source, cfg.train_count, cfg.label_ratio, exp_mark,
-        datetime.datetime.now().strftime("%Y%m%d%H%M%S"))
-    base_path = f"{cfg.experiment_root}/{experiment}"
-    logger = Logger(experiment, base_path=base_path)
-    trainer = SupervisedTrainer(cfg, logger)
-    return trainer.run(base_path)
+    _, base_path, logger = make_experiment(cfg, exp_mark)
+    return SupervisedTrainer(cfg, logger).run(base_path)
