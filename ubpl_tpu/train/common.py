@@ -84,6 +84,24 @@ def make_view(rng, images_u8, kps, means, cfg, *, augment=True,
                      center, scale, angle)
 
 
+def make_class_view(rng, images_u8, means, cfg, *, augment=True):
+    """Classification view (reference datasets/classification/dataset.py):
+    flip -> noise -> affine (no keypoints) -> colorNorm, on 32x32 images."""
+    B = images_u8.shape[0]
+    inp = cfg.inp_res
+    imgs = images_u8.astype(jnp.float32) / 255.0
+    center = jnp.full((B, 2), inp // 2, jnp.float32)
+    base_scale = jnp.full((B,), inp / 200.0, jnp.float32)
+    if augment:
+        dummy_kps = jnp.zeros((B, 1, 3), jnp.float32)
+        aug = A.augment_batch(rng, imgs, dummy_kps, center, base_scale,
+                              inp_res=inp, use_flip=cfg.use_flip,
+                              sf=cfg.scale_range, rf=cfg.rot_range)
+        imgs = aug.images
+    imgs = A.color_normalize(imgs, means)
+    return imgs
+
+
 def forward_heatmaps(model, params, batch_stats, images, train, compute_dtype):
     """Apply a pose model; returns ((preds, feats_or_None), new_batch_stats)."""
     x = images.astype(compute_dtype) if compute_dtype is not None else images
