@@ -28,6 +28,12 @@ def _load_one(path, inp_res):
 
 
 def load_images_bgr(paths: List[str], inp_res: int, workers: int = 16) -> np.ndarray:
+    from ..native import io_lib
+    nat = io_lib.load()
+    if nat is not None:
+        rgb, failures = nat.decode_resize_batch(paths, inp_res, workers)
+        if failures == 0:
+            return rgb[..., ::-1].copy()  # reference (cv2) channel order
     out = np.empty((len(paths), inp_res, inp_res, 3), np.uint8)
     with cf.ThreadPoolExecutor(max_workers=workers) as ex:
         for i, img in enumerate(ex.map(lambda p: _load_one(p, inp_res), paths)):

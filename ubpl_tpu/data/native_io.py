@@ -59,8 +59,8 @@ def imread_resize(path, inp_res):
 def image_size(path):
     """(width, height) without a full decode when possible."""
     nat = _native()
-    if nat is not None and path.lower().endswith(".png"):
-        wh = nat.png_size(path)
+    if nat is not None:
+        wh = nat.image_size(path)
         if wh is not None:
             return wh
     from PIL import Image

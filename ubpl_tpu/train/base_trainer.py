@@ -288,12 +288,46 @@ class BaseTrainer:
         return ("losses: " + ", ".join(f"{k}={v:.5f}" for k, v in losses.items())
                 + f" | [{head}] acc: {accs[-1][-1]:.5f}, err: {errs[-1][-1]:.3f}")
 
-    def run(self, base_path=None, start_epoch=0):
+    def resume(self, base_path, best=False):
+        """Restore state + counters; returns the epoch to continue from.
+        (The reference saves checkpoints but start_epoch is pinned 0 —
+        resume is new, working surface here.)"""
+        from .checkpointing import restore_checkpoint
+        state, meta = restore_checkpoint(base_path, self.state, best=best)
+        if state is None:
+            return 0
+        self.state = state
+        ba = meta.get("best_acc", self.best_acc)
+        be = meta.get("best_epoch", self.best_epoch)
+        self.best_acc = list(np.atleast_1d(ba))
+        self.best_epoch = [int(e) for e in np.atleast_1d(be)]
+        return int(meta["current_epoch"]) + 1
+
+    def maybe_debug_draw(self, base_path, epo):
+        """cfg.debug: dump the first labeled batch's augmentation stages
+        (reference --debug draw surface)."""
+        if not (self.cfg.debug and base_path):
+            return
+        from ..utils.draw import DebugDrawer
+        from .common import make_view
         cfg = self.cfg
+        idxs = np.asarray(self.labeled_idxs[:min(4, len(self.labeled_idxs))])
+        imgs = self.train_data.images[jnp.asarray(idxs)]
+        kps = self.train_data.kps[jnp.asarray(idxs)]
+        view = make_view(jax.random.PRNGKey(cfg.seed + epo), imgs, kps,
+                         jnp.zeros(3), cfg, augment=True)
+        ids = [str(i) for i in idxs]
+        DebugDrawer(base_path).dump_view(ids, view, prefix=f"epo{epo + 1}_")
+
+    def run(self, base_path=None, start_epoch=0, resume=False):
+        cfg = self.cfg
+        if resume and base_path:
+            start_epoch = self.resume(base_path)
         history = []
         for epo in range(start_epoch, cfg.epochs):
             epo_tm = datetime.datetime.now()
             self.epoch = epo
+            self.maybe_debug_draw(base_path, epo)
             schedules = self.epoch_schedules(epo)
             losses = self.train_epoch(epo, schedules)
             preds, accs, errs = self.validate()
