@@ -21,6 +21,7 @@ def tiny_cfg(tmp_path, **kw):
     base = dict(model="HG2", data_source="Mouse", train_count=16,
                 valid_count=8, label_ratio=0.5, epochs=1, train_bs=4,
                 train_bs_labeled=2, infer_bs=8, compute_dtype="float32",
+                force_inp_res=64, force_out_res=16,
                 cache_dir=str(tmp_path / "cache"),
                 experiment_root=str(tmp_path / "expr"))
     base.update(kw)

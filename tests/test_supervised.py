@@ -14,6 +14,7 @@ def test_supervised_end_to_end(tmp_path):
     cfg = Config(model="HG2", data_source="Mouse", train_count=12,
                  valid_count=8, label_ratio=0.5, epochs=2, train_bs=4,
                  infer_bs=8, compute_dtype="float32",
+                 force_inp_res=64, force_out_res=16,
                  cache_dir=str(tmp_path / "cache"),
                  experiment_root=str(tmp_path / "expr"))
     trainer = SupervisedTrainer(cfg)

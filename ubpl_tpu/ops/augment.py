@@ -118,7 +118,7 @@ def color_normalize(images, means):
 
 
 def composite_occluders(rng, images, occluder_bank, occluder_alpha,
-                        num_occluders, scale_range=(0.2, 0.7)):
+                        num_occluders, scale_range=(0.2, 0.7), aug_rate=0.5):
     """Synthetic-occlusion augmentation (reference utils/udaap/utils_augment.py).
 
     Alpha-pastes `num_occluders` randomly-scaled/positioned occluder patches
@@ -153,5 +153,9 @@ def composite_occluders(rng, images, occluder_bank, occluder_alpha,
         img, _ = jax.lax.fori_loop(0, num_occluders, body, (img, r))
         return img
 
-    rngs = jax.random.split(rng, B)
-    return jax.vmap(paste_one)(images, rngs)
+    r_apply, r_paste = jax.random.split(rng)
+    apply = (jax.random.uniform(r_apply, (B,)) <
+             aug_rate)[:, None, None, None].astype(images.dtype)
+    rngs = jax.random.split(r_paste, B)
+    pasted = jax.vmap(paste_one)(images, rngs)
+    return apply * pasted + (1 - apply) * images

@@ -6,6 +6,7 @@ loop, data setup, multi-model validation, checkpointing, and JSON logging
 live once, and each regime supplies its compiled train step.
 """
 import datetime
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -69,6 +70,20 @@ class BaseTrainer:
             materialize(semi.valid, cfg.inp_res, cfg.io_workers), semi.means)
         self.rng = np.random.default_rng(cfg.seed)
         self.means = jnp.asarray(semi.means, jnp.float32)
+        self._setup_occluders()
+
+    def _setup_occluders(self):
+        """Occluder bank for use_occlusion (VOC2012 harvest or synthetic)."""
+        self.occluder_bank = None
+        cfg = self.cfg
+        if not cfg.use_occlusion:
+            return
+        from ..data.occluders import build_occluder_bank
+        from ..data.base import default_data_root
+        voc = os.path.join(cfg.data_root or default_data_root(), "pascal",
+                           "VOCdevkit", "VOC2012")
+        rgb, alpha = build_occluder_bank(voc_root=voc, seed=cfg.seed)
+        self.occluder_bank = (jax.device_put(rgb), jax.device_put(alpha))
 
     def _setup_synthetic_data(self):
         """Random in-memory dataset for benchmarks and multi-chip dryruns."""
@@ -101,6 +116,7 @@ class BaseTrainer:
         self.valid_data = put_dataset(make(n_valid), means)
         self.rng = np.random.default_rng(cfg.seed)
         self.means = jnp.asarray(means, jnp.float32)
+        self._setup_occluders()
 
     # ------------------------------------------------------------------ mesh
     def _shard_for_mesh(self):

@@ -51,11 +51,12 @@ class ViewBatch(NamedTuple):
 
 
 def make_view(rng, images_u8, kps, means, cfg, *, augment=True,
-              scale_range=None, rot_range=None):
+              scale_range=None, rot_range=None, occluder_bank=None,
+              use_occlusion=None):
     """Build one (optionally augmented) view entirely on device.
 
-    Mirrors CommDataset.__getitem__ steps 2-5: load -> (flip, noise, affine)
-    -> colorNorm -> heatmap synth (+ vis re-gate) -> warpmat.
+    Mirrors CommDataset.__getitem__ steps 2-5: load -> (flip, noise, affine,
+    occlusion) -> colorNorm -> heatmap synth (+ vis re-gate) -> warpmat.
     """
     B = images_u8.shape[0]
     inp = cfg.inp_res
@@ -63,6 +64,7 @@ def make_view(rng, images_u8, kps, means, cfg, *, augment=True,
     center = jnp.full((B, 2), inp // 2, jnp.float32)
     base_scale = jnp.full((B,), inp / 200.0, jnp.float32)
     if augment:
+        rng, r_occ = jax.random.split(rng)
         aug = A.augment_batch(
             rng, imgs, kps, center, base_scale, inp_res=inp,
             use_flip=cfg.use_flip,
@@ -71,6 +73,11 @@ def make_view(rng, images_u8, kps, means, cfg, *, augment=True,
         imgs, kps, center = aug.images, aug.kps, aug.center
         scale, angle, isflip, warpmat = (aug.scale, aug.angle, aug.isflip,
                                          aug.warpmat)
+        occ_on = cfg.use_occlusion if use_occlusion is None else use_occlusion
+        if occ_on and occluder_bank is not None:
+            occ_rgb, occ_alpha = occluder_bank
+            imgs = A.composite_occluders(r_occ, imgs, occ_rgb, occ_alpha,
+                                         cfg.num_occluder)
     else:
         scale = base_scale
         angle = jnp.zeros((B,), jnp.float32)

@@ -70,10 +70,12 @@ class DualPoseUBPLTrainer(BaseTrainer):
                                                            pseudo_weight)
             # student view: full augmentation; teacher view: weak (DS_mt)
             stu = make_view(jax.random.fold_in(rng, 0), imgs, kps, means, cfg,
-                            augment=True)
+                            augment=True, occluder_bank=self.occluder_bank)
             ema = make_view(jax.random.fold_in(rng, 1), imgs, kps, means, cfg,
                             augment=True, scale_range=cfg.scale_range_ema,
-                            rot_range=cfg.rot_range_ema)
+                            rot_range=cfg.rot_range_ema,
+                            occluder_bank=self.occluder_bank,
+                            use_occlusion=cfg.use_occlusion_ema)
 
             ema_bs = state.ema_batch_stats
             (outs_ema, _), ema_bs = fwd_stacked(state.ema_params, ema_bs,

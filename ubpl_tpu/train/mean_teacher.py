@@ -66,7 +66,9 @@ class MeanTeacherTrainer(BaseTrainer):
             islabeled = data.islabeled[idxs]
             sw_pos, _, _ = self.sample_weights(islabeled, 0.0)
             views = [make_view(jax.random.fold_in(rng, a), imgs, kps, means,
-                               cfg, augment=True) for a in range(self.n_views)]
+                               cfg, augment=True,
+                               occluder_bank=self.occluder_bank)
+                     for a in range(self.n_views)]
 
             # teacher forward (no grad; train-mode BN updates teacher stats,
             # reference MT.py:231-234 under model_ema.train())

@@ -89,7 +89,9 @@ class MTUBPLTrainer(BaseTrainer):
             islabeled = data.islabeled[idxs]
             sw_pos, sw_nega, _ = self.sample_weights(islabeled, pseudo_weight)
             views = [make_view(jax.random.fold_in(rng, a), imgs, kps, means,
-                               cfg, augment=True) for a in range(n_views)]
+                               cfg, augment=True,
+                               occluder_bank=self.occluder_bank)
+                     for a in range(n_views)]
 
             # teachers (no grad; train-mode BN, reference MT_UBPL.py:235-238)
             ema_bs = state.ema_batch_stats
