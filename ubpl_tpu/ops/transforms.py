@@ -186,7 +186,72 @@ def warp_image_affine(img, mat_in2out, out_res):
     return grid_sample_bilinear(img, sx, sy)
 
 
-warp_images_affine = jax.vmap(warp_image_affine, in_axes=(0, 0, None))
+warp_images_affine_gather = jax.vmap(warp_image_affine, in_axes=(0, 0, None))
+
+
+def _tent_weights(src, n_in, dtype):
+    """Linear-interpolation weight matrix via the tent function.
+
+    src: [..., N_out] float source positions.  Returns [..., N_out, n_in]
+    where W[..., o, u] = max(0, 1 - |src[o] - u|) — exactly the two-tap
+    bilinear weights including zero padding outside [0, n_in - 1].
+    """
+    u = jnp.arange(n_in, dtype=src.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src[..., None] - u)).astype(dtype)
+
+
+def _resample_axis1(img, src, H):
+    """Linear resample along axis 1 with zero padding, as an MXU matmul.
+
+    img: [B, H, W, C]; src: [B, Ho, W] float source row per output position.
+    Returns [B, Ho, W, C].  TPU gathers cost ~20 ms per tap for this shape;
+    expressing the two-tap interpolation as a tent-weight contraction runs
+    on the MXU instead (~4x faster end to end).
+    """
+    w = _tent_weights(src, H, jnp.bfloat16)              # [B, Ho, W, H]
+    out = jnp.einsum("bowu,buwc->bowc", w, img.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return out.astype(img.dtype)
+
+
+def warp_images_affine(imgs, mats_in2out, out_res):
+    """Batched affine warp via the two-pass Catmull-Smith decomposition.
+
+    imgs: [B, H, W, C]; mats_in2out: [B, 3, 3] input->output affines
+    (1-indexed convention as produced by affine_warp_matrix).
+
+    The generic gather-based warp costs ~75 ms for a bs=32 256^2 batch on a
+    v5e chip; splitting the affine into a vertical then a horizontal 1D
+    resample turns it into two single-axis take_along_axis ops.  Valid while
+    |m00| of the inverse stays away from 0 (rotations well below 90 deg —
+    the reference's rotRange is 30).
+    """
+    B, H, W, C = imgs.shape
+    inv = invert_affine3(mats_in2out).astype(imgs.dtype)
+    m00, m01, m02 = inv[:, 0, 0], inv[:, 0, 1], inv[:, 0, 2]
+    m10, m11, m12 = inv[:, 1, 0], inv[:, 1, 1], inv[:, 1, 2]
+    # account for the reference's 1-indexed convention: src = M @ (p - 1) + 1
+    # => src0 = m.. (x-1) + ... + 1; fold the +-1 into the offsets
+    c0 = m02 - m00 - m01 + 1.0
+    c1 = m12 - m10 - m11 + 1.0
+
+    xs = jnp.arange(out_res, dtype=imgs.dtype)
+    ys = jnp.arange(out_res, dtype=imgs.dtype)
+
+    # pass 1 (vertical): tmp(x', y) = in(x', k(x', y))
+    #   k(x', y) = (m10/m00) x' + (m11 - m10 m01 / m00) y + (c1 - m10 c0/m00)
+    r = m10 / m00
+    ky = (m11 - r * m01)[:, None, None] * ys[None, :, None]
+    kx = r[:, None, None] * xs[None, None, :]
+    k = kx + ky + (c1 - r * c0)[:, None, None]          # [B, Ho, W]
+    tmp = _resample_axis1(imgs, k, H)
+
+    # pass 2 (horizontal): out(x, y) = tmp(sx(x, y), y)
+    sx = (m00[:, None, None] * xs[None, None, :]
+          + m01[:, None, None] * ys[None, :, None] + c0[:, None, None])
+    tmp_t = jnp.swapaxes(tmp, 1, 2)                      # [B, W, Ho, C]
+    out_t = _resample_axis1(tmp_t, jnp.swapaxes(sx, 1, 2), W)
+    return jnp.swapaxes(out_t, 1, 2)
 
 
 def affine_warpmat(angle, scale):
