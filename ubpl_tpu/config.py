@@ -81,6 +81,10 @@ class Config:
     mesh_axes: Tuple[str, ...] = ("data",)
     compute_dtype: str = "bfloat16"     # conv/matmul compute dtype
     donate_state: bool = True
+    fold_views: bool = False            # concat the 2 views into one batched
+                                        # forward (BN stats pool over both
+                                        # views; reference computes them
+                                        # per-view) — ~10-15% faster steps
     sync_bn: bool = False               # cross-replica BatchNorm
     io_workers: int = 16
 

@@ -93,22 +93,35 @@ class MTUBPLTrainer(BaseTrainer):
                                occluder_bank=self.occluder_bank)
                      for a in range(n_views)]
 
+            B = imgs.shape[0]
+
+            def forward_views(params_m, bs_m):
+                """Per-view forwards; cfg.fold_views concatenates the views
+                into one batched pass (BN stats pool over both views)."""
+                if cfg.fold_views:
+                    all_imgs = jnp.concatenate([v.images for v in views], 0)
+                    (p, f), new_bs = fwd_stacked(params_m, bs_m, all_imgs,
+                                                 True)
+                    ps = [p[:, a * B:(a + 1) * B] for a in range(n_views)]
+                    fs = ([f[:, a * B:(a + 1) * B] for a in range(n_views)]
+                          if f is not None else [None] * n_views)
+                    return ps, fs, new_bs
+                ps, fs = [], []
+                for v in views:
+                    (p, f), bs_m = fwd_stacked(params_m, bs_m, v.images, True)
+                    ps.append(p)
+                    fs.append(f)
+                return ps, fs, bs_m
+
             # teachers (no grad; train-mode BN, reference MT_UBPL.py:235-238)
-            ema_bs = state.ema_batch_stats
-            outs_ema = []
-            for v in views:
-                (p_ema, _), ema_bs = fwd_stacked(state.ema_params, ema_bs,
-                                                 v.images, True)
-                outs_ema.append(jax.lax.stop_gradient(p_ema))  # [M,B,S,H,W,K]
+            outs_ema, _, ema_bs = forward_views(state.ema_params,
+                                                state.ema_batch_stats)
+            outs_ema = [jax.lax.stop_gradient(p) for p in outs_ema]
 
             def loss_fn(params):
-                bs_state = state.batch_stats
-                outs, feats = [], []
-                for v in views:
-                    (p, f), bs_state = fwd_stacked(params, bs_state, v.images,
-                                                   True)
-                    outs.append(p)   # [M, B, S, H, W, K]
-                    feats.append(f)  # [M, B, S, hf, wf, C]
+                outs, feats, bs_state = forward_views(params,
+                                                      state.batch_stats)
+                # outs[a]: [M, B, S, H, W, K]; feats[a]: [M, B, S, hf, wf, C]
 
                 mtc_sum = jnp.zeros((self.n_models,))
                 mtc_count = jnp.zeros((self.n_models,))
