@@ -1,0 +1,65 @@
+"""CLI: python -m ubpl_tpu <regime> [--key=value ...]
+
+Regimes: supervised | mt | mt_ubpl | dualpose | dualpose_ubpl | exec | bench
+(`exec` runs the reference's full sweep grid, projects/exec.py equivalent).
+
+Keys map to ubpl_tpu.config.Config fields, e.g.:
+    python -m ubpl_tpu mt_ubpl --data_source=Mouse --train_count=100 \
+        --label_ratio=0.3 --epochs=100
+"""
+import sys
+
+
+def parse_overrides(argv):
+    params = {}
+    for arg in argv:
+        if not arg.startswith("--"):
+            continue
+        key, _, val = arg[2:].partition("=")
+        for cast in (int, float):
+            try:
+                val = cast(val)
+                break
+            except (ValueError, TypeError):
+                continue
+        params[key] = val
+    return params
+
+
+def main():
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 1
+    regime = sys.argv[1]
+    params = parse_overrides(sys.argv[2:])
+    if regime == "supervised":
+        from ubpl_tpu.train.supervised import exec_regime
+        exec_regime("Supervised", params)
+    elif regime == "mt":
+        from ubpl_tpu.train.mean_teacher import exec_regime
+        exec_regime("MT", params)
+    elif regime == "mt_ubpl":
+        from ubpl_tpu.train.mt_ubpl import exec_regime
+        exec_regime("MT_UBPL", params)
+    elif regime == "dualpose":
+        from ubpl_tpu.train.dualpose_ubpl import exec_regime
+        exec_regime("DualPose", {**params, "fdl_weight_max": 0.0,
+                                 "fdl_weight_min": 0.0,
+                                 "use_ensemble_pseudo": False})
+    elif regime == "dualpose_ubpl":
+        from ubpl_tpu.train.dualpose_ubpl import exec_regime
+        exec_regime("DualPose_UBPL", params)
+    elif regime == "exec":
+        from ubpl_tpu.train.exec import exec_home
+        exec_home(extra=params)
+    elif regime == "preview":
+        from ubpl_tpu.data.preview import main as preview_main
+        preview_main(params)
+    else:
+        print(f"unknown regime {regime!r}\n{__doc__}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -92,6 +92,43 @@ def decode_heatmaps(heatmaps, center, scale, res=(64, 64)):
     return preds, scores
 
 
+def get_preds_all(heatmaps):
+    """Reference get_preds_all: argmax decode WITHOUT the confidence mask."""
+    B, H, W, K = heatmaps.shape
+    flat = heatmaps.reshape(B, H * W, K)
+    p = (jnp.argmax(flat, axis=1) + 1).astype(heatmaps.dtype)
+    xs = jnp.mod(p - 1, W) + 1
+    ys = jnp.floor((p - 1) / W) + 1
+    return jnp.stack([xs, ys], axis=-1)
+
+
+def refine_quarter_pixel(heatmaps, preds):
+    """Quarter-pixel refinement (reference kps_fromHeatmap2 / the
+    commented-out block in final_preds, utils/udaap/evaluation.py:218-228):
+    nudge each argmax by +-0.25 toward the larger neighbor, then +0.5.
+
+    heatmaps: [B, H, W, K]; preds: [B, K, 2] 1-indexed coords.
+    """
+    B, H, W, K = heatmaps.shape
+    px = preds[..., 0].astype(jnp.int32)   # 1-indexed
+    py = preds[..., 1].astype(jnp.int32)
+
+    def at(y, x):
+        yc = jnp.clip(y, 0, H - 1)
+        xc = jnp.clip(x, 0, W - 1)
+        flat = jnp.moveaxis(heatmaps, -1, 1).reshape(B, K, H * W)
+        idx = yc * W + xc
+        return jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
+
+    # reference indexing: hm[py-1][px] - hm[py-1][px-2], etc (0-indexed grid)
+    dx = at(py - 1, px) - at(py - 1, px - 2)
+    dy = at(py, px - 1) - at(py - 2, px - 1)
+    valid = (px > 1) & (px < W) & (py > 1) & (py < H)
+    shift = jnp.stack([jnp.sign(dx), jnp.sign(dy)], -1) * 0.25
+    refined = preds + shift * valid[..., None].astype(preds.dtype)
+    return refined + 0.5
+
+
 @partial(jax.jit, static_argnames=("res",))
 def decode_heatmaps_mul(multi_heatmaps, center, scale, res=(64, 64)):
     """Reference kps_fromHeatmap_mul: decode M models' heatmaps + their mean.
