@@ -37,8 +37,7 @@ def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS):
                  train_count=max(4 * batch_size, 64),
                  valid_count=8, label_ratio=0.5,
                  train_bs=batch_size, train_bs_labeled=batch_size // 2,
-                 infer_bs=8, epochs=1, compute_dtype="bfloat16",
-                 fold_views=True)
+                 infer_bs=8, epochs=1, compute_dtype="bfloat16")
     cfg.pck_ref = (1, 2)
     cfg.pck_thr = 0.2
     trainer = MTUBPLTrainer(cfg)

@@ -72,6 +72,8 @@ class Config:
     # misc
     seed: int = 1388
     debug: bool = False
+    profile_dir: Optional[str] = None   # capture a jax.profiler trace of the
+                                        # first training epoch into this dir
     experiment_root: str = field(
         default_factory=lambda: os.environ.get("UBPL_EXPR_ROOT", "./experiments"))
     program: str = "ubpl_tpu-0.1"
@@ -84,7 +86,8 @@ class Config:
     fold_views: bool = False            # concat the 2 views into one batched
                                         # forward (BN stats pool over both
                                         # views; reference computes them
-                                        # per-view) — ~10-15% faster steps
+                                        # per-view).  Measured neutral on
+                                        # v5e at bs=32 (128 vs 133 img/s)
     sync_bn: bool = False               # cross-replica BatchNorm
     io_workers: int = 16
 

@@ -345,7 +345,11 @@ class BaseTrainer:
             self.epoch = epo
             self.maybe_debug_draw(base_path, epo)
             schedules = self.epoch_schedules(epo)
-            losses = self.train_epoch(epo, schedules)
+            from ..utils.profiling import trace
+            with trace(cfg.profile_dir,
+                       enabled=cfg.profile_dir is not None
+                       and epo == start_epoch):
+                losses = self.train_epoch(epo, schedules)
             preds, accs, errs = self.validate()
             is_best = []
             for m in range(len(self.valid_heads)):
