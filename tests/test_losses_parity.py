@@ -47,6 +47,41 @@ def test_joint_pseudo3(goldens):
                                g["p3_jsm"], rtol=1e-5)
 
 
+def test_joint_pseudo_v1(goldens):
+    g = goldens("losses")
+    s, stats = L.joint_pseudo(jnp.asarray(_to_hwk(g["preds"])),
+                              jnp.asarray(_to_hwk(g["teachers"])),
+                              jnp.asarray(g["sw_nega"]), score_thr=0.0008)
+    np.testing.assert_allclose(float(s), float(g["p1_sum"]), rtol=1e-4)
+    assert int(stats.num_pseudo) == int(g["p1_n"])
+    assert int(stats.num_selected) == int(g["p1_nsel"])
+    np.testing.assert_allclose(np.asarray(stats.joint_score_mean),
+                               g["p1_jsm"], rtol=1e-4)
+
+
+def test_joint_pseudo_v2(goldens):
+    g = goldens("losses")
+    s, stats, thr1, thr2 = L.joint_pseudo2(
+        jnp.asarray(_to_hwk(g["preds"])), jnp.asarray(_to_hwk(g["teachers"])),
+        jnp.asarray(g["sw_nega"]), sel_rate=0.4)
+    np.testing.assert_allclose(float(s), float(g["p2_sum"]), rtol=1e-4)
+    assert int(stats.num_pseudo) == int(g["p2_n"])
+    assert int(stats.num_selected) == int(g["p2_nsel"])
+    np.testing.assert_allclose(np.asarray(thr1), g["p2_thr1"], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(thr2), g["p2_thr2"], rtol=1e-5)
+
+
+def test_joint_dist_mt_v1(goldens):
+    g = goldens("losses")
+    sw = jnp.asarray(np.array([1., 1., 7., 7.], dtype=np.float32))
+    s, n = L.joint_dist_mt(jnp.asarray(_to_hwk(g["preds"][:, -1])),
+                           jnp.asarray(_to_hwk(g["preds2"][:, -1])),
+                           sample_weight=sw, use_sample_weight=True,
+                           sel_rate=0.4)
+    np.testing.assert_allclose(float(s), float(g["mt1_sum"]), rtol=1e-4)
+    assert int(n) == int(g["mt1_n"])
+
+
 def test_joint_dist_mt2(goldens):
     g = goldens("losses")
     sw = jnp.asarray(np.array([1., 1., 7., 7.], dtype=np.float32))

@@ -197,6 +197,26 @@ def gold_losses(rng):
     out["mt2_sum"], out["mt2_n"], out["mt2_np"], out["mt2_nsel"] = s.item(), n, n_p, n_s
     out["mt2_jsm"] = jsm.numpy()
 
+    pseudo1 = reflosses.JointPseudoLoss(nStack=S, scoreThr=0.0008)
+    s, n, n_sel, jsm = pseudo1(t(preds.copy()), t(teachers.copy()),
+                               t(sw_nega.copy()))
+    out["p1_sum"], out["p1_n"], out["p1_nsel"] = s.item(), n, n_sel
+    out["p1_jsm"] = jsm.numpy()
+
+    pseudo2 = reflosses.JointPseudoLoss2(nStack=S, selRate=0.4)
+    s, n, n_sel, jsm, thr1, thr2 = pseudo2(t(preds.copy()), t(teachers.copy()),
+                                           t(sw_nega.copy()))
+    out["p2_sum"], out["p2_n"], out["p2_nsel"] = s.item(), n, n_sel
+    out["p2_jsm"] = jsm.numpy()
+    out["p2_thr1"], out["p2_thr2"] = thr1.numpy(), thr2.numpy()
+
+    mt1 = reflosses.JointDistLoss_mt(nStack=1, useSampleWeight=True,
+                                     selRate=0.4)
+    s, n = mt1(t(preds[:, -1].copy()), t(preds2[:, -1].copy()),
+               sampleWeight=t(np.array([1., 1., 7., 7.],
+                                       dtype=np.float32)[:, None]))
+    out["mt1_sum"], out["mt1_n"] = s.item(), n
+
     feat1 = rng.standard_normal((B, S, 256, 32, 32)).astype(np.float32)
     feat2 = rng.standard_normal((B, S, 256, 32, 32)).astype(np.float32)
     c, cn = proc.features_cov(t(feat1.copy()), t(feat2.copy()))

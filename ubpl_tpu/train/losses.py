@@ -11,6 +11,7 @@ kps gate [B, K]; sample weight [B] or [B, 1]; features [B, N, Hf, Wf, C].
 """
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -151,6 +152,96 @@ def joint_pseudo3(preds, teacher_outs, sample_weight, score_thr=0.95):
     v2_mean = jnp.sum(v2_score * wpos[:, None], axis=0) / denom        # [K]
     jsm = jnp.mean((v1_mean + v2_mean[None, :]) / 2.0, axis=0)         # [K]
     return total, PseudoStats(num_pseudo, num_selected, jsm)
+
+
+def _softmax_k_score(v):
+    """Reference confidence score for the v1/v2 pseudo losses: softmax over
+    the JOINT axis (torch dim=-2 of [bs, k, HW]) then max over HW."""
+    sm = jax.nn.softmax(v, axis=-2)
+    return jnp.max(sm, axis=-1)         # [..., K]
+
+
+def _rate_threshold(scores, sel_rate):
+    """Reference quantile threshold: ascending-sorted flat scores at index
+    int(len * (1 - selRate))."""
+    flat = jnp.sort(scores.reshape(-1))
+    idx = int(flat.shape[0] * (1.0 - sel_rate))
+    return flat[min(idx, flat.shape[0] - 1)]
+
+
+def joint_pseudo(preds, teacher_outs, sample_weight, score_thr=0.8):
+    """Reference JointPseudoLoss (dormant): like joint_pseudo3 but the
+    confidence is a softmax-over-joints score thresholded at scoreThr."""
+    B, S, K = preds.shape[0], preds.shape[1], preds.shape[-1]
+    sw = _as_bs1(sample_weight)
+    target = jnp.mean(teacher_outs[:, :, -1], axis=0)
+    v2 = _flatten_hw(target)                               # [B, K, HW]
+    v1 = _flatten_hw(preds)                                # [B, S, K, HW]
+    loss = jnp.mean((v1 - v2[:, None]) ** 2, axis=-1) * sw[:, None, None]
+    v1_score = _softmax_k_score(v1)                        # [B, S, K]
+    v2_score = _softmax_k_score(v2)                        # [B, K]
+    mask = ((v1_score >= score_thr)
+            & (v2_score[:, None] >= score_thr)).astype(loss.dtype)
+    total = jnp.sum(loss * mask)
+    wpos = (sw > 0).astype(loss.dtype)
+    denom = jnp.maximum(jnp.sum(wpos), 1.0)
+    v1_mean = jnp.sum(v1_score * wpos[:, None, None], axis=0) / denom
+    v2_mean = jnp.sum(v2_score * wpos[:, None], axis=0) / denom
+    jsm = jnp.mean((v1_mean + v2_mean[None, :]) / 2.0, axis=0)
+    return total, PseudoStats(jnp.sum(loss > 0), jnp.sum(mask > 0), jsm)
+
+
+def joint_pseudo2(preds, teacher_outs, sample_weight, sel_rate=0.5):
+    """Reference JointPseudoLoss2 (dormant): per-stack top-selRate quantile
+    thresholds on the softmax-over-joints scores.
+
+    Returns (sum, PseudoStats, thr1 [S], thr2 [S]).
+    """
+    B, S, K = preds.shape[0], preds.shape[1], preds.shape[-1]
+    sw = _as_bs1(sample_weight)
+    target = jnp.mean(teacher_outs[:, :, -1], axis=0)
+    v2 = _flatten_hw(target)
+    v1 = _flatten_hw(preds)
+    loss = jnp.mean((v1 - v2[:, None]) ** 2, axis=-1) * sw[:, None, None]
+    v1_score = _softmax_k_score(v1)                        # [B, S, K]
+    v2_score = _softmax_k_score(v2)                        # [B, K]
+    thr1 = jnp.stack([_rate_threshold(v1_score[:, s], sel_rate)
+                      for s in range(S)])                  # [S]
+    thr2_scalar = _rate_threshold(v2_score, sel_rate)
+    thr2 = jnp.full((S,), thr2_scalar)
+    mask = ((v1_score >= thr1[None, :, None])
+            & (v2_score[:, None] >= thr2_scalar)).astype(loss.dtype)
+    total = jnp.sum(loss * mask)
+    wpos = (sw > 0).astype(loss.dtype)
+    denom = jnp.maximum(jnp.sum(wpos), 1.0)
+    v1_mean = jnp.sum(v1_score * wpos[:, None, None], axis=0) / denom
+    v2_mean = jnp.sum(v2_score * wpos[:, None], axis=0) / denom
+    jsm = jnp.mean((v1_mean + v2_mean[None, :]) / 2.0, axis=0)
+    return total, PseudoStats(jnp.sum(loss > 0), jnp.sum(mask > 0),
+                              jsm), thr1, thr2
+
+
+def joint_dist_mt(preds1, preds2, kps_gate=None, sample_weight=None,
+                  use_gate=False, use_sample_weight=False, sel_rate=0.5):
+    """Reference JointDistLoss_mt (dormant): consistency masked by the
+    top-selRate quantile of the teacher's softmax-over-joints confidence."""
+    if preds1.ndim == 4:
+        preds1, preds2 = preds1[:, None], preds2[:, None]
+    B, S, K = preds1.shape[0], preds1.shape[1], preds1.shape[-1]
+    v1, v2 = _flatten_hw(preds1), _flatten_hw(preds2)
+    loss = jnp.mean((v1 - v2) ** 2, axis=-1)
+    gate = jnp.ones((B, K), preds1.dtype) if kps_gate is None else kps_gate
+    if use_gate:
+        loss = loss * gate[:, None, :]
+    if use_sample_weight and sample_weight is not None:
+        loss = loss * _as_bs1(sample_weight)[:, None, None]
+    v2_score = _softmax_k_score(v2)                        # [B, S, K]
+    masks = []
+    for s in range(S):
+        thr = _rate_threshold(v2_score[:, s], sel_rate)
+        masks.append((v2_score[:, s] >= thr).astype(loss.dtype))
+    mask = jnp.stack(masks, axis=1)
+    return jnp.sum(loss * mask), S * kps_labeled_count(gate)
 
 
 def joint_dist_mt2(preds1, preds2, kps_gate=None, sample_weight=None,
