@@ -1,0 +1,57 @@
+"""Checkpoint resume + inference API tests (synthetic data, tiny shapes)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ubpl_tpu.config import Config
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(model="HG2", synthetic_data=True, synthetic_kps=5,
+                inp_res=64, out_res=16, train_count=16, valid_count=8,
+                label_ratio=0.5, train_bs=4, train_bs_labeled=2, infer_bs=8,
+                epochs=2, compute_dtype="float32",
+                experiment_root=str(tmp_path / "expr"))
+    base.update(kw)
+    cfg = Config(**base)
+    cfg.pck_ref, cfg.pck_thr = (1, 2), 0.2
+    return cfg
+
+
+def test_resume_roundtrip(tmp_path):
+    from ubpl_tpu.train.mt_ubpl import MTUBPLTrainer
+    cfg = _cfg(tmp_path)
+    run_dir = str(tmp_path / "run")
+    t1 = MTUBPLTrainer(cfg)
+    t1.run(base_path=run_dir)
+    best = list(t1.best_acc)
+
+    t2 = MTUBPLTrainer(_cfg(tmp_path, epochs=3))
+    start = t2.resume(run_dir)
+    assert start == 2                       # continue after epoch index 1
+    assert t2.best_acc == pytest.approx(best)
+    # restored params match the trained ones
+    a = jax.tree_util.tree_leaves(t1.state.params)[0]
+    b = jax.tree_util.tree_leaves(t2.state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # and training continues from there
+    t2.run(base_path=run_dir, resume=True)
+
+
+def test_pose_estimator_from_checkpoint(tmp_path):
+    from ubpl_tpu.train.supervised import SupervisedTrainer
+    from ubpl_tpu.infer import PoseEstimator
+    cfg = _cfg(tmp_path, epochs=1)
+    run_dir = str(tmp_path / "run_sup")
+    tr = SupervisedTrainer(cfg)
+    tr.run(base_path=run_dir)
+    est = PoseEstimator.from_checkpoint(
+        run_dir, model="HG2", kps_count=5, head="student",
+        compute_dtype="float32", inp_res=64, out_res=16)
+    imgs = np.random.default_rng(0).integers(0, 256, (5, 64, 64, 3),
+                                             dtype=np.uint8)
+    kps, scores = est.predict(imgs)
+    assert kps.shape == (5, 5, 2)
+    assert scores.shape == (5, 5)
+    assert np.isfinite(kps).all()

@@ -1,0 +1,55 @@
+"""Training-quality demonstration on bundled Mouse data.
+
+Runs the reference's first grid cell (Mouse, trainCount=100, labelRatio=0.3,
+validCount=500) for a configurable number of epochs with the reference
+hyper-parameters and records per-epoch PCK@0.2 to TRAIN_DEMO_<regime>.json.
+
+    python tools/train_demo.py supervised 50
+    python tools/train_demo.py mt_ubpl 30
+"""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    regime = sys.argv[1] if len(sys.argv) > 1 else "supervised"
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    from ubpl_tpu.config import Config
+    cfg = Config(model="HG3", data_source="Mouse", train_count=100,
+                 valid_count=500, label_ratio=0.3, epochs=epochs,
+                 cache_dir=os.path.join(REPO, "temp_data"))
+    if regime == "supervised":
+        from ubpl_tpu.train.supervised import SupervisedTrainer as T
+    elif regime == "mt":
+        from ubpl_tpu.train.mean_teacher import MeanTeacherTrainer as T
+    elif regime == "mt_ubpl":
+        from ubpl_tpu.train.mt_ubpl import MTUBPLTrainer as T
+    elif regime == "dualpose_ubpl":
+        from ubpl_tpu.train.dualpose_ubpl import DualPoseUBPLTrainer as T
+        cfg.scale_range_ema, cfg.rot_range_ema = 0.05, 5.0
+    else:
+        raise SystemExit(f"unknown regime {regime}")
+    t0 = time.time()
+    trainer = T(cfg)
+    history = trainer.run()
+    out = {
+        "regime": regime, "epochs": epochs,
+        "best_acc": trainer.best_acc, "best_epoch": trainer.best_epoch,
+        "final_accs": history[-1]["accs"],
+        "acc_curve": [h["accs"][-1][-1] for h in history],
+        "wallclock_s": time.time() - t0,
+    }
+    path = os.path.join(REPO, f"TRAIN_DEMO_{regime}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote", path)
+    print("best acc:", trainer.best_acc)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,7 +38,8 @@ def save_checkpoint(base_path, epoch, state, is_best=False, extra=None):
 
 
 def restore_checkpoint(base_path, state=None, best=False):
-    """Restore (state, meta); `state` provides the pytree structure."""
+    """Restore (state, meta); `state` provides the pytree structure so
+    optax NamedTuple states come back typed (orbax alone restores dicts)."""
     latest, best_p = _paths(base_path)
     target = best_p if best else latest
     if not os.path.exists(target):
@@ -47,9 +48,13 @@ def restore_checkpoint(base_path, state=None, best=False):
     payload = ckptr.restore(target)
     restored, meta = payload["state"], payload["meta"]
     if state is not None:
-        template = _as_dict(state)
-        restored = {k: restored[k] for k in template}
-        restored = type(state)(**restored)
+        # re-restore with the live pytree as the structure template
+        template = {"state": jax.tree_util.tree_map(np.asarray,
+                                                    _as_dict(state)),
+                    "meta": meta}
+        payload = ckptr.restore(target, item=template)
+        restored = type(state)(**payload["state"])
+        meta = payload["meta"]
     return restored, meta
 
 
