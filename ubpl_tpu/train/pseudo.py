@@ -151,9 +151,11 @@ def assess_ensemble(ori_preds1, ori_preds2, aug_preds1, aug_preds2, gts,
              ).astype(np.float64)
     int1 = pairwise_avg_distance(a1)
     int2 = pairwise_avg_distance(a2)
-    denom = np.maximum(int1 + int2, 1e-12)
-    w1 = int1 / denom
-    w2 = int2 / denom
+    denom = int1 + int2
+    # reference would divide 0/0 when both teachers are perfectly stable
+    # across views (business.py:133-134); fall back to an even split
+    w1 = np.where(denom > 0, int1 / np.maximum(denom, 1e-12), 0.5)
+    w2 = 1.0 - w1
     coords = w1[..., None] * p1[..., 0:2] + w2[..., None] * p2[..., 0:2]
     coords = np.where(legal[..., None] > 0, coords, p1[..., 0:2])
     ext = np.mean(np.linalg.norm(a1[..., 0:2] - a2[..., 0:2], axis=-1), axis=0)
