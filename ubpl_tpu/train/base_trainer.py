@@ -377,7 +377,24 @@ class BaseTrainer:
                         self.format_epoch_log(losses, accs, errs)),
                 start=epo_tm)
             history.append({**losses, "accs": accs, "errs": errs})
+        if base_path:
+            self._write_report(base_path, history)
         return history
+
+    def _write_report(self, base_path, history):
+        """End-of-run metric table (reference xlsx dumps -> CSV/markdown)."""
+        from ..utils.report import RunReport
+        loss_keys = [k for k in history[0] if k not in ("accs", "errs")]
+        rep = RunReport(["epoch", *loss_keys, "acc", "err"])
+        for epo, h in enumerate(history):
+            row = {"epoch": epo + 1, "acc": h["accs"][-1][-1],
+                   "err": h["errs"][-1][-1]}
+            for k in loss_keys:
+                v = h[k]
+                row[k] = float(np.mean(v)) if isinstance(v, (list, tuple)) else v
+            rep.add_row(**row)
+        rep.to_csv(f"{base_path}/logs/report.csv", highlight_column="acc")
+        rep.to_markdown(f"{base_path}/logs/report.md", highlight_column="acc")
 
     # --------------------------------------------------------------- helpers
     def sample_weights(self, islabeled, pseudo_weight):
