@@ -105,11 +105,42 @@ class Config:
     pck_ref: Sequence[int] = ()
     pck_thr: float = 0.5
 
+    # reference argparse flag -> Config field (so reference-style param
+    # dicts, e.g. exec.py's {"dataSource": ..., "trainCount": ...}, work)
+    REFERENCE_ALIASES = {
+        "dataSource": "data_source", "trainCount": "train_count",
+        "validCount": "valid_count", "labelRatio": "label_ratio",
+        "trainBS": "train_bs", "trainBS_labeled": "train_bs_labeled",
+        "inferBS": "infer_bs", "useFlip": "use_flip",
+        "scaleRange": "scale_range", "rotRange": "rot_range",
+        "useOcclusion": "use_occlusion", "numOccluder": "num_occluder",
+        "scaleRange_ema": "scale_range_ema", "rotRange_ema": "rot_range_ema",
+        "useOcclusion_ema": "use_occlusion_ema",
+        "numOccluder_ema": "num_occluder_ema",
+        "poseWeight": "pose_weight",
+        "consWeight_max": "cons_weight_max",
+        "consWeight_min": "cons_weight_min",
+        "consWeight_rampup": "cons_weight_rampup",
+        "FDL_type": "fdl_type", "FDL_label": "fdl_label",
+        "FDLWeight_max": "fdl_weight_max", "FDLWeight_min": "fdl_weight_min",
+        "FDLWeight_rampup": "fdl_weight_rampup",
+        "useEnsemblePseudo": "use_ensemble_pseudo",
+        "ensemblePseudoWeight": "ensemble_pseudo_weight",
+        "pseudoWeight_max": "pseudo_weight_max",
+        "pseudoWeight_min": "pseudo_weight_min",
+        "pseudoWeight_rampup": "pseudo_weight_rampup",
+        "pseudoScoreThr": "pseudo_score_thr",
+        "ema_decay": "ema_decay", "feature_mode": "feature_mode",
+        "brNum": "br_num", "br_augNum": "br_aug_num", "br_gtNum": "br_gt_num",
+    }
+
     def override(self, params: Optional[dict]):
-        """Reference setArgs: dict override + "True"/"False" coercion."""
+        """Reference setArgs: dict override + "True"/"False" coercion;
+        accepts both Config field names and reference argparse names."""
         if not params:
             return self
         for k, v in params.items():
+            k = self.REFERENCE_ALIASES.get(k, k)
             if hasattr(self, k):
                 if v == "True":
                     v = True
