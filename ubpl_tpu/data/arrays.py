@@ -9,7 +9,7 @@ per-sample augmentation inside the compiled step.  A 1248-image Mouse split
 at 256x256x3 uint8 is ~245 MB — trivially HBM-resident.
 """
 import concurrent.futures as cf
-from typing import List, NamedTuple, Optional
+from typing import List, NamedTuple
 
 import numpy as np
 

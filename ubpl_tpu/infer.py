@@ -14,7 +14,7 @@ Usage:
                                         kps_count=9)
     kps, scores = est.predict(images_u8)   # [N,256,256,3] BGR uint8
 """
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

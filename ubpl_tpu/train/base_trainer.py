@@ -7,7 +7,7 @@ live once, and each regime supplies its compiled train step.
 """
 import datetime
 import os
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,6 @@ unlabeled=pseudoWeight).
 exec_home runs this trainer twice: "DualPose" (FDL off, no ensemble pseudo)
 and "DualPose_UBPL" (both on) — projects/exec.py:21-25.
 """
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,7 +16,7 @@ import optax
 
 from ..data import TwoStreamBatchSampler
 from .base_trainer import BaseTrainer
-from .common import forward_heatmaps, make_view
+from .common import make_view
 from .mt_ubpl import DualState
 from . import losses as L
 from . import schedules as S

@@ -9,7 +9,7 @@ arithmetic so shapes stay static under jit.
 Layouts: preds [B, S, H, W, K] (S = hourglass stacks); gts [B, H, W, K];
 kps gate [B, K]; sample weight [B] or [B, 1]; features [B, N, Hf, Wf, C].
 """
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ import optax
 
 from ..data import TwoStreamBatchSampler
 from .base_trainer import BaseTrainer
-from .common import forward_heatmaps, make_view
+from .common import make_view
 from . import losses as L
 from . import schedules as S
 

@@ -14,7 +14,7 @@ reliability, selection mask), with every scoring rule vectorized:
   * LMA (last-3 weighted moving average) smoothing          business.py:397-406
   * mixed uncertainty 1 - exp(-mixDist/5)                   business.py:375-376
 """
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 

@@ -18,8 +18,6 @@ loop for the dual-teacher regimes:
   4. refresh the trainer's device dataset (steps are rebuilt since the
      compiled step closes over the data arrays).
 """
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,7 +25,7 @@ import numpy as np
 from ..ops import heatmap as HM
 from ..ops import transforms as T
 from . import pseudo as P
-from .common import make_view, put_dataset
+from .common import make_view
 
 
 class PseudoLabelingLoop:
