@@ -34,13 +34,18 @@ def create_pose_model(model_type: str, kps_count: int, mode: str = "AvgPool",
 
 def create_class_model(model_type: str, num_classes: int, mode: str = "AvgPool",
                        axis_name: Optional[str] = None, dtype=None):
-    """Reference ClassModel factory: VGG / ResNet / MobileNet CIFAR nets."""
-    if model_type == "VGG":
-        return VGG(num_classes=num_classes, mode=mode, axis_name=axis_name,
-                   dtype=dtype)
-    if model_type == "ResNet":
-        return ResNet(num_classes=num_classes, mode=mode, axis_name=axis_name,
-                      dtype=dtype)
+    """Reference ClassModel factory: VGG / ResNet / MobileNet CIFAR nets.
+
+    Accepts bare family names ("VGG" -> VGG11, "ResNet" -> ResNet18) or the
+    reference's full variants ("VGG13", "ResNet50", ...)."""
+    if model_type.startswith("VGG"):
+        variant = model_type if len(model_type) > 3 else "VGG11"
+        return VGG(num_classes=num_classes, model_type=variant, mode=mode,
+                   axis_name=axis_name, dtype=dtype)
+    if model_type.startswith("ResNet"):
+        variant = model_type if len(model_type) > 6 else "ResNet18"
+        return ResNet(num_classes=num_classes, model_type=variant, mode=mode,
+                      axis_name=axis_name, dtype=dtype)
     if model_type == "MobileNet":
         return MobileNet(num_classes=num_classes, mode=mode,
                          axis_name=axis_name, dtype=dtype)
