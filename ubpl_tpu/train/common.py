@@ -84,8 +84,13 @@ def make_view(rng, images_u8, kps, means, cfg, *, augment=True,
         isflip = jnp.zeros((B,), bool)
         warpmat = jnp.tile(jnp.eye(2, 3, dtype=jnp.float32), (B, 1, 1))
     imgs = A.color_normalize(imgs, means)
-    heatmaps, kps_new = HM.synthesize_heatmaps(kps, inp_res=inp,
-                                               out_res=cfg.out_res)
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas import synthesize_heatmaps_pallas
+        heatmaps, kps_new = synthesize_heatmaps_pallas(kps, inp_res=inp,
+                                                       out_res=cfg.out_res)
+    else:
+        heatmaps, kps_new = HM.synthesize_heatmaps(kps, inp_res=inp,
+                                                   out_res=cfg.out_res)
     gate = kps_new[..., 2]
     return ViewBatch(imgs, heatmaps, kps_new, gate, warpmat, isflip,
                      center, scale, angle)
