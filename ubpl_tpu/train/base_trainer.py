@@ -377,9 +377,21 @@ class BaseTrainer:
                         self.format_epoch_log(losses, accs, errs)),
                 start=epo_tm)
             history.append({**losses, "accs": accs, "errs": errs})
+            if base_path and self._preemption_requested():
+                self.logger.print("L1", "preemption requested — checkpointed "
+                                        f"at epoch {epo + 1}; resume with "
+                                        "run(resume=True)")
+                break
         if base_path:
             self._write_report(base_path, history)
         return history
+
+    def _preemption_requested(self):
+        # opt-in: only honored when a PreemptionGuard was installed
+        # (e.g. by exec_home / production drivers)
+        from ..utils.preemption import PreemptionGuard
+        guard = PreemptionGuard._installed
+        return bool(guard and guard.requested)
 
     def _write_report(self, base_path, history):
         """End-of-run metric table (reference xlsx dumps -> CSV/markdown)."""
