@@ -134,11 +134,14 @@ class MeanTeacherTrainer(BaseTrainer):
 
     def train_epoch(self, epo, schedules):
         counters = {k: L.AvgCounter() for k in ("pec", "mtc")}
+        metrics = []
         for idxs in self.make_sampler():
             self._step_num += 1
             self.state, m = self.train_step(
                 self.state, jnp.asarray(idxs), self._step_num,
                 schedules["cons_weight"], schedules["ema_alpha"])
+            metrics.append(m)  # defer host sync
+        for m in metrics:
             counters["pec"].update(float(m["pec_loss"]), int(m["pec_count"]))
             counters["mtc"].update(float(m["mtc_loss"]), int(m["mtc_count"]))
         return {"pec_loss": counters["pec"].avg, "mtc_loss": counters["mtc"].avg}

@@ -231,12 +231,15 @@ class MTUBPLTrainer(BaseTrainer):
         mtc_cs = [L.AvgCounter() for _ in range(M)]
         epc_cs = [L.AvgCounter() for _ in range(M)]
         fdc_c = L.AvgCounter()
+        metrics = []
         for idxs in self.make_sampler():
             self._step_num += 1
             self.state, m = self.train_step(
                 self.state, jnp.asarray(idxs), self._step_num,
                 schedules["cons_weight"], schedules["fdl_weight"],
                 schedules["pseudo_weight"], schedules["ema_alpha"])
+            metrics.append(m)  # defer host sync: keep the device queue full
+        for m in metrics:
             for i in range(M):
                 pec_cs[i].update(float(m["pec"][i]), int(m["pec_count"][i]))
                 mtc_cs[i].update(float(m["mtc"][i]), int(m["mtc_count"][i]))

@@ -127,7 +127,7 @@ class PseudoLabelingLoop:
     def _apply(self, sample_idxs, coords, enable):
         """dataset.update(): inject pseudo kps, refresh device data + steps."""
         tr = self.trainer
-        kps = np.asarray(tr.train_data.kps)
+        kps = np.array(tr.train_data.kps)  # copy: device buffers are read-only
         for row, c, e in zip(sample_idxs, coords, enable):
             m = e > 0
             kps[row, m, 0:2] = c[m]

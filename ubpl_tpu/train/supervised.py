@@ -76,11 +76,14 @@ class SupervisedTrainer(BaseTrainer):
     def train_epoch(self, epo, schedules=None):
         cfg = self.cfg
         pec_counter = L.AvgCounter()
+        metrics = []
         for idxs in supervised_epoch_batches(self.labeled_idxs, cfg.train_bs,
                                              self.rng):
             self._step_num += 1
             self.state, m = self.train_step(self.state, jnp.asarray(idxs),
                                             self._step_num)
+            metrics.append(m)  # defer host sync: keep the device queue full
+        for m in metrics:
             pec_counter.update(float(m["pec_loss"]), int(m["pec_count"]))
         return {"pec_loss": pec_counter.avg}
 
