@@ -17,6 +17,8 @@ GRID = [["Mouse", 100, 0.3], ["Mouse", 200, 0.15],
 
 
 def exec_home(grid=None, extra=None):
+    from ..utils.preemption import PreemptionGuard
+    PreemptionGuard.get()  # SIGTERM -> checkpoint at epoch boundary
     extra = extra or {}
     for data_source, train_count, rate in (grid or GRID):
         base = {"data_source": data_source, "train_count": train_count,
