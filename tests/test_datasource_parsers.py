@@ -52,25 +52,48 @@ def test_flic_parser(data_root, tmp_path):
     assert all(os.path.exists(r["imagePath"]) for r in recs)
 
 
-def test_lsp_parser(data_root, tmp_path):
+def make_lsp_fixture(data_root, n_lsp=4, n_lspet=5, seed=1):
+    """Write BOTH archives the reference concatenates (datasources/lsp.py:31):
+    lsp joints.mat [3,14,N] with 4-digit ids, lspet joints.mat [14,3,N] with
+    5-digit ids, each with one invisible-joint sample that gets filtered."""
     import scipy.io as sio
-    base = os.path.join(data_root, "pose", "lspet")
-    os.makedirs(os.path.join(base, "images"), exist_ok=True)
-    n = 5
-    rng = np.random.default_rng(1)
-    joints = rng.uniform(5, 100, (14, 3, n))   # lspet layout [14, 3, N]
-    joints[:, 2, :] = 1.0
-    joints[0, 2, 2] = 0.0                      # invisible joint -> filtered
-    sio.savemat(os.path.join(base, "joints.mat"), {"joints": joints})
-    for i in range(n):
-        img_id = "im{}".format(str(1000000 + i + 1)[2:])
-        _write_png(os.path.join(base, "images", f"{img_id}.jpg"))
+    rng = np.random.default_rng(seed)
+    lsp = os.path.join(data_root, "pose", "lsp", "lsp")
+    lspet = os.path.join(data_root, "pose", "lsp", "lspet")
+    os.makedirs(os.path.join(lsp, "images"), exist_ok=True)
+    os.makedirs(os.path.join(lspet, "images"), exist_ok=True)
 
+    j_lsp = rng.uniform(5, 100, (3, 14, n_lsp))
+    j_lsp[2] = 1.0
+    j_lsp[2, 0, 1] = 0.0                       # invisible joint -> filtered
+    sio.savemat(os.path.join(lsp, "joints.mat"), {"joints": j_lsp})
+    for i in range(n_lsp):
+        img_id = "im{}".format(str(1000000 + i + 1)[3:])
+        _write_png(os.path.join(lsp, "images", f"{img_id}.jpg"))
+
+    j_lspet = rng.uniform(5, 100, (14, 3, n_lspet))
+    j_lspet[:, 2, :] = 1.0
+    j_lspet[0, 2, 2] = 0.0                     # invisible joint -> filtered
+    sio.savemat(os.path.join(lspet, "joints.mat"), {"joints": j_lspet})
+    for i in range(n_lspet):
+        img_id = "im{}".format(str(1000000 + i + 1)[2:])
+        _write_png(os.path.join(lspet, "images", f"{img_id}.jpg"))
+    return n_lsp - 1 + n_lspet - 1
+
+
+def test_lsp_parser(data_root, tmp_path):
+    n_expected = make_lsp_fixture(data_root)
     ds = LSPData(data_root=data_root, cache_dir=str(tmp_path / "c"), seed=1)
     recs = ds._load_records()
-    assert len(recs) == 4
+    # candidate pool is the UNION of lsp + lspet (datasources/lsp.py:31,43)
+    assert len(recs) == n_expected
     assert all(len(r["kps"]) == 14 for r in recs)
-    assert recs[0]["imageID"].startswith("im0")
+    ids = [r["imageID"] for r in recs]
+    assert "im0001" in ids                     # lsp: 4-digit padding
+    assert "im00001" in ids                    # lspet: 5-digit padding
+    # lsp records precede lspet records, as in the reference concatenation
+    assert ids.index("im0001") < ids.index("im00001")
+    assert all(os.path.exists(r["imagePath"]) for r in recs)
 
 
 def test_ap10k_parser(data_root, tmp_path):

@@ -1,0 +1,76 @@
+"""Ours side of the quality-gate table: full-length runs on the reference's
+exact split (shipped temp_data cache, byte-compatible format) with full
+500-image validation, mirroring tools/ref_run.py on the reference side.
+
+Writes PARITY_ours_{regime}.json at the repo root with epochwise losses and
+full-valid-set PCK (per-joint + mean), harvested from the trainer's own
+logData files.
+
+Usage: python tools/parity_run.py {supervised|mt_ubpl} [epochs]
+"""
+import json
+import os
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def pin_reference_split(cache_dir="/tmp/ubpl_parity_cache"):
+    """Copy the reference's shipped Mouse_100_500_0.3 split cache (identical
+    data records) with its Windows data roots rewritten to the bundled data."""
+    os.makedirs(cache_dir, exist_ok=True)
+    ref_cache = "/root/reference/datasources/temp_data/Mouse_100_500_0.3.json"
+    with open(ref_cache) as f:
+        raw = f.read().replace("D:/00Data", "/root/reference/data")
+    with open(os.path.join(cache_dir, "Mouse_100_500_0.3.json"), "w") as f:
+        f.write(raw)
+    return cache_dir
+
+
+def main():
+    regime = sys.argv[1] if len(sys.argv) > 1 else "supervised"
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+
+    from ubpl_tpu.config import Config
+    cache_dir = pin_reference_split()
+    base_path = f"/tmp/ubpl_parity/{regime}"
+    shutil.rmtree(base_path, ignore_errors=True)
+
+    cfg = Config(model="HG3", data_source="Mouse", train_count=100,
+                 valid_count=500, label_ratio=0.3, epochs=epochs,
+                 cache_dir=cache_dir)
+    if regime == "supervised":
+        from ubpl_tpu.train.supervised import SupervisedTrainer as Trainer
+    elif regime == "mt_ubpl":
+        from ubpl_tpu.train.mt_ubpl import MTUBPLTrainer as Trainer
+    else:
+        raise SystemExit(f"unknown regime {regime}")
+
+    trainer = Trainer(cfg)
+    trainer.run(base_path)
+
+    out = {"regime": regime, "epochs": epochs, "split": "Mouse_100_500_0.3",
+           "valid_n": 500, "per_epoch": {}}
+    log_dir = os.path.join(base_path, "logs", "logData")
+    for name in sorted(os.listdir(log_dir),
+                       key=lambda s: int(s.split("_")[1].split(".")[0])):
+        epo = int(name.split("_")[1].split(".")[0])
+        with open(os.path.join(log_dir, name)) as f:
+            d = json.load(f)
+        entry = {k: v for k, v in d.items() if k not in ("accs", "errs")}
+        # accs/errs: [head][k+1]; last head is the selection head (ensemble
+        # mean for MT_UBPL, the model itself for supervised)
+        entry["pck_mean"] = d["accs"][-1][-1]
+        entry["err_mean"] = d["errs"][-1][-1]
+        entry["pck_per_joint"] = d["accs"][-1][:-1]
+        out["per_epoch"][str(epo)] = entry
+    with open(os.path.join(REPO, f"PARITY_ours_{regime}.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    final = out["per_epoch"][str(max(int(k) for k in out["per_epoch"]))]
+    print("DONE", regime, "final PCK(mean) =", final["pck_mean"])
+
+
+if __name__ == "__main__":
+    main()

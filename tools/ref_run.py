@@ -1,0 +1,185 @@
+"""Run the reference trainers (torch CPU) end-to-end for the quality gate.
+
+Drives `/root/reference` projects/{supervised,MT_UBPL}.exec unmodified on the
+bundled Mouse data (Mouse 100/0.3 grid cell, the only locally-runnable
+datasource), writing per-epoch logData JSONs under /tmp/ref_expr/<experiment>.
+The epochwise PCK table in RESULTS.md is built from those logs
+(tools/parity_table.py).
+
+Environment adaptations (behavior-preserving):
+- no CUDA device here: `.cuda()` / `.to(device)` become no-ops (reference pins
+  cuda:0, projects/supervised.py:238).
+- skimage is not installed: provide a functional shim for the only two
+  functions used, `skimage.transform.resize` and `.rotate`
+  (reference utils/augment.py:103,134,137), implemented with cv2 bilinear
+  resampling. Differences vs skimage's gaussian-prefiltered resize are
+  sub-pixel at edges; the parity gate is statistical (PCK), per SURVEY §7.
+- openpyxl is not installed: stub (only PatternFill is imported, dormant xlsx
+  path, utils/base/comm.py:7-8).
+- hardcoded Windows data roots (D:/00Data, datasources/mouse.py:15-16) are
+  rewritten to the bundled /root/reference/data.
+- full 500-image validation runs every EVAL_EVERY epochs instead of every
+  epoch (pure wall-clock concession on this 1-core host; validation has no
+  effect on training dynamics). Skipped epochs record zeros.
+
+Usage: python tools/ref_run.py {supervised|mt_ubpl} [epochs] [eval_every]
+"""
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+import torch
+
+torch.Tensor.cuda = lambda self, *a, **k: self
+torch.nn.Module.cuda = lambda self, *a, **k: self
+torch.set_num_threads(os.cpu_count() or 1)
+
+
+def _install_skimage_shim():
+    import cv2
+
+    # newer cv2 rejects 0-d torch tensors where the reference (torch 1.13 era)
+    # passed them directly (utils/augment.py:161); coerce to python floats
+    _orig_rotmat = cv2.getRotationMatrix2D
+
+    def getRotationMatrix2D(center, angle, scale):
+        return _orig_rotmat((float(center[0]), float(center[1])),
+                            float(angle), float(scale))
+
+    cv2.getRotationMatrix2D = getRotationMatrix2D
+
+    def resize(image, output_shape, **kw):
+        out_h, out_w = int(output_shape[0]), int(output_shape[1])
+        img = np.asarray(image, dtype=np.float64)
+        interp = (cv2.INTER_AREA
+                  if (out_h < img.shape[0] or out_w < img.shape[1])
+                  else cv2.INTER_LINEAR)
+        return cv2.resize(img, (out_w, out_h), interpolation=interp)
+
+    def rotate(image, angle, **kw):
+        img = np.asarray(image, dtype=np.float64)
+        h, w = img.shape[:2]
+        # skimage rotates CCW about the image center ((w-1)/2, (h-1)/2)
+        mat = cv2.getRotationMatrix2D(((w - 1) / 2.0, (h - 1) / 2.0),
+                                      float(angle), 1.0)
+        return cv2.warpAffine(img, mat, (w, h), flags=cv2.INTER_LINEAR,
+                              borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+
+    sk = types.ModuleType("skimage")
+    skt = types.ModuleType("skimage.transform")
+    skd = types.ModuleType("skimage.data")
+    skt.resize, skt.rotate = resize, rotate
+    sk.transform, sk.data = skt, skd
+    sys.modules["skimage"] = sk
+    sys.modules["skimage.transform"] = skt
+    sys.modules["skimage.data"] = skd
+
+
+def _install_openpyxl_stub():
+    op = types.ModuleType("openpyxl")
+    ops = types.ModuleType("openpyxl.styles")
+    ops.PatternFill = object
+    op.styles = ops
+    sys.modules["openpyxl"] = op
+    sys.modules["openpyxl.styles"] = ops
+    # torchvision: only used inside the CIFAR datasources (module-level import)
+    tv = types.ModuleType("torchvision")
+    tv.datasets = types.ModuleType("torchvision.datasets")
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.datasets"] = tv.datasets
+
+
+def main():
+    regime = sys.argv[1] if len(sys.argv) > 1 else "supervised"
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    eval_every = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+
+    _install_skimage_shim()
+    _install_openpyxl_stub()
+    sys.path.insert(0, "/root/reference")
+
+    import GLOB as glob
+    glob.expr = "/tmp/ref_expr"
+    glob.temp = "/tmp/ref_temp"
+    glob.stat = "/tmp/ref_stat"
+    for d in (glob.expr, glob.temp, glob.stat):
+        os.makedirs(d, exist_ok=True)
+
+    # rewrite the hardcoded Windows data roots in everything loaded via
+    # CommUtils.json_load (labels_normal.json + the shipped temp_data split
+    # cache both carry D:/00Data image paths)
+    from utils.base.comm import CommUtils
+
+    def json_load(cls_or_path, path=None):
+        p = path if path is not None else cls_or_path
+        with open(p, "r") as f:
+            raw = f.read().replace("D:/00Data", "/root/reference/data")
+        return json.loads(raw)
+
+    CommUtils.json_load = classmethod(lambda cls, p: json_load(p))
+
+    from datasources.mouse import MouseData
+    _orig_init = MouseData.__init__
+
+    def _init(self):
+        _orig_init(self)
+        self.labelPathname = self.labelPathname.replace(
+            "D:/00Data", "/root/reference/data")
+        self.imgPath = self.imgPath.replace("D:/00Data", "/root/reference/data")
+    MouseData.__init__ = _init
+
+    sys.argv = [sys.argv[0]]  # reference initArgs parses sys.argv
+
+    if regime == "supervised":
+        from projects import supervised as mod
+        k_plus1 = 10  # Mouse: 9 kps + mean
+
+        orig_validate = mod.validate
+
+        def validate(validLoader, model, args):
+            epo = getattr(args, "epo", 0)
+            if (epo + 1) % eval_every == 0 or epo + 1 == args.epochs:
+                t0 = time.time()
+                out = orig_validate(validLoader, model, args)
+                print(f"[ref_run] epoch {epo+1} full-valid PCK(mean)="
+                      f"{out[1][-1]:.5f} ({time.time()-t0:.0f}s)", flush=True)
+                return out
+            return [], [0.0] * k_plus1, [0.0] * k_plus1
+
+        mod.validate = validate
+        mod.exec("Supervised", {"dataSource": "Mouse", "trainCount": 100,
+                                "validCount": 500, "labelRatio": 0.3,
+                                "epochs": epochs})
+    elif regime == "mt_ubpl":
+        from projects import MT_UBPL as mod
+        k_plus1 = 10
+
+        orig_validate = mod.validate
+
+        def validate(validLoader, models_ema, args):
+            epo = getattr(args, "epo", 0)
+            if (epo + 1) % eval_every == 0 or epo + 1 == args.epochs:
+                t0 = time.time()
+                out = orig_validate(validLoader, models_ema, args)
+                print(f"[ref_run] epoch {epo+1} full-valid ensemble "
+                      f"PCK(mean)={out[1][-1][-1]:.5f} "
+                      f"({time.time()-t0:.0f}s)", flush=True)
+                return out
+            n = len(models_ema) + 1
+            return ([[] for _ in range(n)],
+                    [[0.0] * k_plus1 for _ in range(n)],
+                    [[0.0] * k_plus1 for _ in range(n)])
+
+        mod.validate = validate
+        mod.exec("MT_UBPL", {"dataSource": "Mouse", "trainCount": 100,
+                             "validCount": 500, "labelRatio": 0.3,
+                             "epochs": epochs})
+    else:
+        raise SystemExit(f"unknown regime {regime}")
+
+
+if __name__ == "__main__":
+    main()

@@ -97,38 +97,45 @@ class FLICData(PoseDataSource):
 
 
 class LSPData(PoseDataSource):
-    """LSP/LSPET full-body pose from joints.mat (datasources/lsp.py)."""
+    """LSP + LSPET full-body pose from the two joints.mat archives.
+
+    The reference builds its candidate pool from the CONCATENATION of both
+    datasets: ``_dataLoading("lsp") + _dataLoading("lspet")``
+    (datasources/lsp.py:31,43), with per-variant id padding — lsp ids are
+    4-digit (``str(1000000+i+1)[3:]``), lspet ids 5-digit (``[2:]``,
+    datasources/lsp.py:80-83) — and the multi-person filter applied within
+    each variant's records (datasources/lsp.py:94-99).
+    """
     name = "LSP"
     img_type = "jpg"
     pck_ref = (12, 13)  # neck/head
     pck_thr = 0.5
     sel_kp_idxs = tuple(range(14))
 
-    def __init__(self, variant="lspet", **kw):
+    def __init__(self, **kw):
         super().__init__(**kw)
-        self.variant = variant
         base = os.path.join(self.data_root, "pose")
-        self.lsp_label = os.path.join(base, "lsp", "joints.mat")
-        self.lsp_imgs = os.path.join(base, "lsp", "images")
-        self.lspet_label = os.path.join(base, "lspet", "joints.mat")
-        self.lspet_imgs = os.path.join(base, "lspet", "images")
+        self.lsp_label = os.path.join(base, "lsp", "lsp", "joints.mat")
+        self.lsp_imgs = os.path.join(base, "lsp", "lsp", "images")
+        self.lspet_label = os.path.join(base, "lsp", "lspet", "joints.mat")
+        self.lspet_imgs = os.path.join(base, "lsp", "lspet", "images")
 
-    def _load_records(self):
+    def _load_variant(self, variant):
         import scipy.io as sio
-        if self.variant == "lsp":
+        if variant == "lsp":
             label, img_path = self.lsp_label, self.lsp_imgs
         else:
             label, img_path = self.lspet_label, self.lspet_imgs
         joints = sio.loadmat(label)["joints"]
-        anns = np.swapaxes(joints, 0, 2)          # -> [N, 14, 3] (lsp)
-        if self.variant == "lspet":
-            anns = np.swapaxes(anns, 1, 2)        # lspet ships [14, 3, N]
+        anns = np.swapaxes(joints, 0, 2)          # [3,14,N] -> [N,14,3] (lsp)
+        if variant == "lspet":
+            anns = np.swapaxes(anns, 1, 2)        # lspet ships [14,3,N]
         records = []
         for i, ann in enumerate(anns):
             kps_new = self.select_complete(ann.tolist(), self.sel_kp_idxs)
             if kps_new is None:
                 continue
-            pad = 2 if self.variant == "lspet" else 3
+            pad = 2 if variant == "lspet" else 3
             img_id = "im{}".format(str(1000000 + i + 1)[pad:])
             name = f"{img_id}.{self.img_type}"
             records.append({
@@ -138,6 +145,9 @@ class LSPData(PoseDataSource):
                 "kps": kps_new, "kps_test": kps_new,
             })
         return self.filter_single_person(records)
+
+    def _load_records(self):
+        return self._load_variant("lsp") + self._load_variant("lspet")
 
 
 class AP10KData(PoseDataSource):
