@@ -24,9 +24,14 @@ BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
 
 BENCH_BS = int(os.environ.get("UBPL_BENCH_BS", "32"))
 BENCH_STEPS = int(os.environ.get("UBPL_BENCH_STEPS", "20"))
+# small-batch steps are dispatch-bound as single device calls; scan k of them
+# per call (Config.scan_batches)
+BENCH_SCAN = int(os.environ.get("UBPL_BENCH_SCAN",
+                                "8" if BENCH_BS <= 8 else "1"))
 
 
-def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS):
+def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS, scan=BENCH_SCAN):
+    import numpy as np
     import jax
     import jax.numpy as jnp
     from ubpl_tpu.config import Config
@@ -37,33 +42,45 @@ def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS):
                  train_count=max(4 * batch_size, 64),
                  valid_count=8, label_ratio=0.5,
                  train_bs=batch_size, train_bs_labeled=batch_size // 2,
-                 infer_bs=8, epochs=1, compute_dtype="bfloat16")
+                 infer_bs=8, epochs=1, compute_dtype="bfloat16",
+                 scan_batches=scan)
     cfg.pck_ref = (1, 2)
     cfg.pck_thr = 0.2
     trainer = MTUBPLTrainer(cfg)
     sched = trainer.epoch_schedules(0)
     args = (sched["cons_weight"], sched["fdl_weight"],
             sched["pseudo_weight"], sched["ema_alpha"])
-    sampler_batches = []
     it = iter(trainer.make_sampler())
-    for _ in range(steps + 3):
+
+    def next_batch():
+        nonlocal it
         try:
-            sampler_batches.append(jnp.asarray(next(it)))
+            return np.asarray(next(it))
         except StopIteration:
             it = iter(trainer.make_sampler())
-            sampler_batches.append(jnp.asarray(next(it)))
+            return np.asarray(next(it))
+
+    n_calls = (steps + scan - 1) // scan if scan > 1 else steps
+    if scan > 1:
+        batches = [jnp.asarray(np.stack([next_batch() for _ in range(scan)]))
+                   for _ in range(n_calls + 1)]
+        run = lambda st, b, s0: trainer.train_scan_step(st, b, s0, *args)
+        per_call = scan
+    else:
+        batches = [jnp.asarray(next_batch()) for _ in range(n_calls + 3)]
+        run = lambda st, b, s0: trainer.train_step(st, b, s0, *args)
+        per_call = 1
+
     state = trainer.state
-    # warmup / compile
-    for i in range(3):
-        state, m = trainer.train_step(state, sampler_batches[i], i + 1, *args)
+    state, m = run(state, batches[0], 1)   # warmup / compile
     jax.block_until_ready(m)
     t0 = time.perf_counter()
-    for i in range(steps):
-        state, m = trainer.train_step(state, sampler_batches[3 + i],
-                                      100 + i, *args)
+    for i in range(n_calls):
+        state, m = run(state, batches[(i % (len(batches) - 1)) + 1],
+                       100 + i * per_call)
     jax.block_until_ready(m)
     dt = time.perf_counter() - t0
-    return batch_size * steps / dt
+    return batch_size * n_calls * per_call / dt
 
 
 def measure_reference_cpu(steps=3):

@@ -52,33 +52,7 @@ def test_flic_parser(data_root, tmp_path):
     assert all(os.path.exists(r["imagePath"]) for r in recs)
 
 
-def make_lsp_fixture(data_root, n_lsp=4, n_lspet=5, seed=1):
-    """Write BOTH archives the reference concatenates (datasources/lsp.py:31):
-    lsp joints.mat [3,14,N] with 4-digit ids, lspet joints.mat [14,3,N] with
-    5-digit ids, each with one invisible-joint sample that gets filtered."""
-    import scipy.io as sio
-    rng = np.random.default_rng(seed)
-    lsp = os.path.join(data_root, "pose", "lsp", "lsp")
-    lspet = os.path.join(data_root, "pose", "lsp", "lspet")
-    os.makedirs(os.path.join(lsp, "images"), exist_ok=True)
-    os.makedirs(os.path.join(lspet, "images"), exist_ok=True)
-
-    j_lsp = rng.uniform(5, 100, (3, 14, n_lsp))
-    j_lsp[2] = 1.0
-    j_lsp[2, 0, 1] = 0.0                       # invisible joint -> filtered
-    sio.savemat(os.path.join(lsp, "joints.mat"), {"joints": j_lsp})
-    for i in range(n_lsp):
-        img_id = "im{}".format(str(1000000 + i + 1)[3:])
-        _write_png(os.path.join(lsp, "images", f"{img_id}.jpg"))
-
-    j_lspet = rng.uniform(5, 100, (14, 3, n_lspet))
-    j_lspet[:, 2, :] = 1.0
-    j_lspet[0, 2, 2] = 0.0                     # invisible joint -> filtered
-    sio.savemat(os.path.join(lspet, "joints.mat"), {"joints": j_lspet})
-    for i in range(n_lspet):
-        img_id = "im{}".format(str(1000000 + i + 1)[2:])
-        _write_png(os.path.join(lspet, "images", f"{img_id}.jpg"))
-    return n_lsp - 1 + n_lspet - 1
+from fixture_archives import make_lsp as make_lsp_fixture  # noqa: E402
 
 
 def test_lsp_parser(data_root, tmp_path):

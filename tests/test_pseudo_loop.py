@@ -39,3 +39,36 @@ def test_pseudo_loop_round(tmp_path):
     # a second round keeps working (LMA caches roll forward)
     sel2, _ = loop.round(jax.random.PRNGKey(1), apply=False)
     assert sel2.enable.shape == (len(unl), K)
+
+
+def test_pseudo_rounds_first_class(tmp_path):
+    """cfg.pseudo_rounds wires the UBPL selection loop into the trainer run:
+    a round fires on the configured epoch, selected kps enter the training
+    pool, and the sample flips into the labeled pool (islabeled gate)."""
+    cfg = Config(model="HG2", synthetic_data=True, synthetic_kps=5,
+                 inp_res=64, out_res=16, train_count=16, valid_count=8,
+                 label_ratio=0.5, train_bs=4, train_bs_labeled=2, infer_bs=8,
+                 epochs=1, compute_dtype="float32",
+                 pseudo_rounds=1, pseudo_interval=1, pseudo_aug_views=1)
+    cfg.pck_ref, cfg.pck_thr = (1, 2), 0.2
+    trainer = MTUBPLTrainer(cfg)
+    unl = np.asarray(trainer.unlabeled_idxs)
+    islab_before = np.asarray(trainer.train_data.islabeled)[unl]
+    assert (islab_before == 0).all()
+
+    trainer.run(str(tmp_path / "exp"))
+    assert trainer._pseudo_rounds_done == 1
+    # audit JSON written by the round
+    import os
+    assert os.path.exists(str(tmp_path / "exp" / "logs" / "pseudoRounds" /
+                              "round_1.json"))
+    sel = trainer._pseudo_loop  # loop was created
+    assert sel is not None
+    kps_after = np.asarray(trainer.train_data.kps)[unl]
+    islab_after = np.asarray(trainer.train_data.islabeled)[unl]
+    got = kps_after[..., 2] > 0           # injected joints
+    if got.any():
+        # samples with injected kps flipped into the labeled pool
+        assert (islab_after[got.any(axis=1)] == 1).all()
+    # samples without any injected kps stay unlabeled
+    assert (islab_after[~got.any(axis=1)] == 0).all()

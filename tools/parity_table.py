@@ -1,0 +1,78 @@
+"""Build the reference-vs-ours epochwise PCK table (RESULTS.md quality gate).
+
+Reads the reference experiment dirs under /tmp/ref_expr (written by
+tools/ref_run.py: logData_{e}.json per epoch; full-valid epochs carry real
+accs, skipped epochs carry zeros) and PARITY_ours_{regime}.json (written by
+tools/parity_run.py), and prints a markdown table per regime.
+
+    python tools/parity_table.py > PARITY_TABLE.md
+"""
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_EXPR = os.environ.get("UBPL_REF_EXPR", "/tmp/ref_expr")
+
+
+def ref_epochwise(mark):
+    """{epoch: pck_mean} from the newest reference experiment of `mark`,
+    full-valid epochs only (ref_run zeroes skipped epochs)."""
+    dirs = sorted(glob.glob(os.path.join(REF_EXPR, f"*_{mark}_*")))
+    if not dirs:
+        return {}, None
+    exp = dirs[-1]
+    out = {}
+    for path in glob.glob(os.path.join(exp, "logs", "logData", "*.json")):
+        epo = int(os.path.basename(path).split("_")[1].split(".")[0])
+        with open(path) as f:
+            d = json.load(f)
+        accs = d.get("accs") or (d.get("accsArraies") or [[0.0]])[-1]
+        pck = accs[-1]
+        if pck > 0:
+            out[epo] = pck
+    return out, exp
+
+
+def ours_epochwise(regime):
+    path = os.path.join(REPO, f"PARITY_ours_{regime}.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        d = json.load(f)
+    return {int(k): v["pck_mean"] for k, v in d["per_epoch"].items()}
+
+
+def table(title, ref, ours, ref_exp):
+    lines = [f"### {title}", ""]
+    if ref_exp:
+        lines.append(f"reference run: `{ref_exp}`")
+        lines.append("")
+    lines.append("| epoch | reference PCK@0.2 | ours PCK@0.2 | delta |")
+    lines.append("|---|---|---|---|")
+    epochs = sorted(set(ref) | set(sorted(ours)[-1:] if ours else set()))
+    for e in sorted(set(ref)):
+        r = ref.get(e)
+        o = ours.get(e)
+        d = (f"{o - r:+.4f}" if (r is not None and o is not None) else "-")
+        lines.append("| {} | {} | {} | {} |".format(
+            e, f"{r:.4f}" if r is not None else "-",
+            f"{o:.4f}" if o is not None else "-", d))
+    if ours:
+        last = max(ours)
+        if last not in ref:
+            lines.append(f"| {last} (ours final) | - | {ours[last]:.4f} | - |")
+    return "\n".join(lines)
+
+
+def main():
+    print("## Quality gate: Mouse 100/0.3, full 500-image validation\n")
+    for mark, regime in (("Supervised", "supervised"), ("MT_UBPL", "mt_ubpl")):
+        ref, exp = ref_epochwise(mark)
+        ours = ours_epochwise(regime)
+        print(table(f"{mark}", ref, ours, exp))
+        print()
+
+
+if __name__ == "__main__":
+    main()

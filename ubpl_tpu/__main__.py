@@ -1,11 +1,15 @@
 """CLI: python -m ubpl_tpu <regime> [--key=value ...]
 
-Regimes: supervised | mt | mt_ubpl | dualpose | dualpose_ubpl | exec | bench
-(`exec` runs the reference's full sweep grid, projects/exec.py equivalent).
+Regimes: supervised | mt | mt_ubpl | dualpose | dualpose_ubpl | exec |
+classification | bench | preview
+(`exec` runs the reference's full sweep grid, projects/exec.py equivalent;
+`classification` drives the CIFAR branch, `--mode=supervised|mt|mt_ubpl`;
+`bench` prints the one-line throughput JSON).
 
-Keys map to ubpl_tpu.config.Config fields, e.g.:
+Keys map to ubpl_tpu.config.Config fields (or reference argparse aliases),
+e.g.:
     python -m ubpl_tpu mt_ubpl --data_source=Mouse --train_count=100 \
-        --label_ratio=0.3 --epochs=100
+        --label_ratio=0.3 --epochs=100 --mesh_shape=2,4 --mesh_axes=model,data
 """
 import sys
 
@@ -52,6 +56,19 @@ def main():
     elif regime == "exec":
         from ubpl_tpu.train.exec import exec_home
         exec_home(extra=params)
+    elif regime == "classification":
+        from ubpl_tpu.train.classification import exec_regime
+        exec_regime("Classification", params)
+    elif regime == "bench":
+        import os
+        import runpy
+        bench = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py")
+        if not os.path.exists(bench):
+            print(f"bench.py not found at {bench}")
+            return 1
+        sys.argv = [bench]
+        runpy.run_path(bench, run_name="__main__")
     elif regime == "preview":
         from ubpl_tpu.data.preview import main as preview_main
         preview_main(params)

@@ -68,6 +68,16 @@ class Config:
     pseudo_weight_rampup: int = 100
     pseudo_score_thr: float = 0.95
     ema_decay: float = 0.999
+    # UBPL selection loop (reference utils/business.py + dataset.update —
+    # shipped but never wired into a trainer there; first-class here).
+    # pseudo_rounds > 0 runs a selection round every pseudo_interval epochs
+    # during MT_UBPL/DualPose training: dual-teacher ensemble scoring,
+    # reliability-quantile selection, selected keypoints injected into the
+    # training pool (islabeled flips to 1, as dataset_mds.update:14-25 does).
+    pseudo_rounds: int = 0
+    pseudo_interval: int = 10
+    pseudo_reliable_pct: float = 0.5
+    pseudo_aug_views: int = 2
 
     # misc
     seed: int = 1388
@@ -79,7 +89,9 @@ class Config:
     program: str = "ubpl_tpu-0.1"
 
     # TPU-native
-    mesh_shape: Optional[Tuple[int, ...]] = None   # None -> all devices as dp
+    # mesh_shape None -> all local devices on a ("data",) axis (single-device
+    # -> no mesh).  CLI strings accepted: --mesh_shape=2,4 --mesh_axes=model,data
+    mesh_shape: Optional[Tuple[int, ...]] = None
     mesh_axes: Tuple[str, ...] = ("data",)
     compute_dtype: str = "bfloat16"     # conv/matmul compute dtype
     donate_state: bool = True
@@ -88,7 +100,18 @@ class Config:
                                         # views; reference computes them
                                         # per-view).  Measured neutral on
                                         # v5e at bs=32 (128 vs 133 img/s)
-    sync_bn: bool = False               # cross-replica BatchNorm
+    fuse_teacher_forward: bool = True   # stack students+teachers as one
+                                        # 2M-network branch axis: one batched
+                                        # forward per view instead of
+                                        # separate student/teacher dispatches
+    scan_batches: int = 1               # >1: lax.scan k train batches per
+                                        # device call (amortizes dispatch for
+                                        # the reference's small bs=4 steps)
+    # NOTE on BatchNorm under data parallelism: batches are sharded over the
+    # 'data' mesh axis with GSPMD, so BN statistics are computed over the
+    # GLOBAL logical batch by construction — identical math to single-device
+    # execution (asserted by tests/test_sharding.py equivalence test).  There
+    # is deliberately no sync_bn knob: nothing to toggle.
     io_workers: int = 16
 
     # synthetic data (benchmarks / multi-chip dryruns — no disk IO)
@@ -146,6 +169,9 @@ class Config:
                     v = True
                 elif v == "False":
                     v = False
+                if k in ("mesh_shape", "mesh_axes") and v is not None:
+                    from .parallel import parse_axis_spec
+                    v = parse_axis_spec(v, int if k == "mesh_shape" else str)
                 setattr(self, k, v)
         return self
 

@@ -69,3 +69,23 @@ def materialize(records: List[dict], inp_res: int = 256,
         islabeled[i] = int(r["islabeled"])
     return PoseArrays(images, kps, kps_test, islabeled,
                       [r["imageID"] for r in records])
+
+
+def pad_to_multiple(arrays: PoseArrays, mult: int) -> PoseArrays:
+    """Pad the sample axis to a multiple of `mult` (the 'data' mesh-axis size)
+    so the arrays shard evenly.  Padding rows are never indexed: samplers draw
+    from the real record count only."""
+    if mult <= 1:
+        return arrays
+    n = arrays.images.shape[0]
+    pad = (-n) % mult
+    if pad == 0:
+        return arrays
+
+    def padn(x):
+        return np.concatenate(
+            [x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+    return PoseArrays(padn(arrays.images), padn(arrays.kps),
+                      padn(arrays.kps_test), padn(arrays.islabeled),
+                      list(arrays.image_ids) + [""] * pad)

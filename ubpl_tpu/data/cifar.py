@@ -50,23 +50,40 @@ class CIFARData:
         return cls(arrays={"train": (train_images, train_targets),
                            "valid": (valid_images, valid_targets)}, **kw)
 
+    # torchvision's on-disk layout (the reference downloads through
+    # torchvision.datasets.CIFAR10, cifar10.py:61): pickled batch files
+    # with uint8 [N, 3072] b"data" rows in CHW order
+    _BATCHES = {
+        "cifar10": ("cifar-10-batches-py",
+                    [f"data_batch_{i}" for i in range(1, 6)],
+                    ["test_batch"], b"labels"),
+        "cifar100": ("cifar-100-python", ["train"], ["test"],
+                     b"fine_labels"),
+    }
+
     def _load_torchvision(self):
-        import torchvision
         root = os.path.join(self.data_root, f"{self.name}(Classification)",
                             "data")
-        ds_cls = (torchvision.datasets.CIFAR10 if self.num_classes == 10
-                  else torchvision.datasets.CIFAR100)
-        try:
-            tr = ds_cls(root=root, train=True, download=False)
-            va = ds_cls(root=root, train=False, download=False)
-        except RuntimeError as e:
+        dirname, train_files, test_files, label_key = self._BATCHES[self.name]
+        base = os.path.join(root, dirname)
+        if not os.path.isdir(base):
             raise FileNotFoundError(
                 f"{self.name} not found under {root}; place the torchvision "
-                f"archive there (no network in this environment)") from e
-        self._train_images = np.asarray(tr.data)
-        self._train_targets = np.asarray(tr.targets)
-        self._valid_images = np.asarray(va.data)
-        self._valid_targets = np.asarray(va.targets)
+                f"archive ({dirname}/) there (no network in this environment)")
+
+        def read(files):
+            import pickle
+            datas, labels = [], []
+            for fn in files:
+                with open(os.path.join(base, fn), "rb") as f:
+                    d = pickle.load(f, encoding="bytes")
+                datas.append(np.asarray(d[b"data"], np.uint8)
+                             .reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
+                labels.extend(d[label_key])
+            return np.concatenate(datas), np.asarray(labels)
+
+        self._train_images, self._train_targets = read(train_files)
+        self._valid_images, self._valid_targets = read(test_files)
 
     def _records(self, targets, is_train):
         start = 1100000 if is_train else 1200000

@@ -10,13 +10,11 @@ from ..layers import torch_kernel_init
 class MobileNet(nn.Module):
     num_classes: int = 10
     mode: str = "default"
-    axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     def _bn(self, x, train):
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5, axis_name=self.axis_name,
-                            dtype=self.dtype)(x)
+                            epsilon=1e-5, dtype=self.dtype)(x)
 
     def _conv_bn(self, x, out, stride, train):
         x = nn.Conv(out, (3, 3), strides=(stride,) * 2, padding=1,

@@ -16,20 +16,17 @@ CFG = {
 
 
 class _BN(nn.Module):
-    axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train):
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5, axis_name=self.axis_name,
-                            dtype=self.dtype)(x)
+                            epsilon=1e-5, dtype=self.dtype)(x)
 
 
 class BasicBlock(nn.Module):
     out_dim: int
     stride: int = 1
-    axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     expansion: int = 1
 
@@ -38,23 +35,22 @@ class BasicBlock(nn.Module):
         y = nn.Conv(self.out_dim, (3, 3), strides=(self.stride,) * 2, padding=1,
                     use_bias=False, kernel_init=torch_kernel_init,
                     dtype=self.dtype)(x)
-        y = nn.relu(_BN(self.axis_name, self.dtype)(y, train))
+        y = nn.relu(_BN(self.dtype)(y, train))
         y = nn.Conv(self.out_dim, (3, 3), padding=1, use_bias=False,
                     kernel_init=torch_kernel_init, dtype=self.dtype)(y)
-        y = _BN(self.axis_name, self.dtype)(y, train)
+        y = _BN(self.dtype)(y, train)
         sc = x
         if self.stride != 1 or x.shape[-1] != self.out_dim * self.expansion:
             sc = nn.Conv(self.out_dim * self.expansion, (1, 1),
                          strides=(self.stride,) * 2, use_bias=False,
                          kernel_init=torch_kernel_init, dtype=self.dtype)(x)
-            sc = _BN(self.axis_name, self.dtype)(sc, train)
+            sc = _BN(self.dtype)(sc, train)
         return nn.relu(y + sc)
 
 
 class Bottleneck(nn.Module):
     out_dim: int
     stride: int = 1
-    axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     expansion: int = 4
 
@@ -62,20 +58,20 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = True):
         y = nn.Conv(self.out_dim, (1, 1), use_bias=False,
                     kernel_init=torch_kernel_init, dtype=self.dtype)(x)
-        y = nn.relu(_BN(self.axis_name, self.dtype)(y, train))
+        y = nn.relu(_BN(self.dtype)(y, train))
         y = nn.Conv(self.out_dim, (3, 3), strides=(self.stride,) * 2, padding=1,
                     use_bias=False, kernel_init=torch_kernel_init,
                     dtype=self.dtype)(y)
-        y = nn.relu(_BN(self.axis_name, self.dtype)(y, train))
+        y = nn.relu(_BN(self.dtype)(y, train))
         y = nn.Conv(self.out_dim * self.expansion, (1, 1), use_bias=False,
                     kernel_init=torch_kernel_init, dtype=self.dtype)(y)
-        y = _BN(self.axis_name, self.dtype)(y, train)
+        y = _BN(self.dtype)(y, train)
         sc = x
         if self.stride != 1 or x.shape[-1] != self.out_dim * self.expansion:
             sc = nn.Conv(self.out_dim * self.expansion, (1, 1),
                          strides=(self.stride,) * 2, use_bias=False,
                          kernel_init=torch_kernel_init, dtype=self.dtype)(x)
-            sc = _BN(self.axis_name, self.dtype)(sc, train)
+            sc = _BN(self.dtype)(sc, train)
         return nn.relu(y + sc)
 
 
@@ -83,7 +79,6 @@ class ResNet(nn.Module):
     num_classes: int = 10
     model_type: str = "ResNet18"
     mode: str = "default"
-    axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -92,13 +87,12 @@ class ResNet(nn.Module):
         nums = CFG[self.model_type]
         x = nn.Conv(64, (3, 3), padding=1, use_bias=False,
                     kernel_init=torch_kernel_init, dtype=self.dtype)(x)
-        x = nn.relu(_BN(self.axis_name, self.dtype)(x, train))
+        x = nn.relu(_BN(self.dtype)(x, train))
         feat = None
         for i, (ch, n) in enumerate(zip((64, 128, 256, 512), nums)):
             stride = 1 if i == 0 else 2
             for j in range(n):
-                x = block(ch, stride if j == 0 else 1, self.axis_name,
-                          self.dtype)(x, train)
+                x = block(ch, stride if j == 0 else 1, self.dtype)(x, train)
             if i == 2 and self.mode != "default":
                 if self.mode == "MaxPool":
                     feat = nn.max_pool(x, (2, 2), strides=(2, 2))

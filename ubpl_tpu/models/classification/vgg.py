@@ -23,7 +23,6 @@ class VGG(nn.Module):
     num_classes: int = 10
     model_type: str = "VGG11"
     mode: str = "default"
-    axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     def _block(self, x, cfg, train):
@@ -34,8 +33,7 @@ class VGG(nn.Module):
                 x = nn.Conv(p, (3, 3), padding=1, kernel_init=torch_kernel_init,
                             dtype=self.dtype)(x)
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, axis_name=self.axis_name,
-                                 dtype=self.dtype)(x)
+                                 epsilon=1e-5, dtype=self.dtype)(x)
                 x = nn.relu(x)
         return x
 

@@ -19,21 +19,20 @@ CLASS_MODELS = ("VGG", "ResNet", "MobileNet")
 
 
 def create_pose_model(model_type: str, kps_count: int, mode: str = "AvgPool",
-                      axis_name: Optional[str] = None, dtype=None):
+                      dtype=None):
     """Reference PoseModel factory: "HG{n}" -> StackedHourglass(nStack=n),
     "LitePose" -> LitePose."""
     if model_type.startswith("HG"):
         n_stack = int(model_type[2:])
         return StackedHourglass(k=kps_count, n_stack=n_stack, mode=mode,
-                                axis_name=axis_name, dtype=dtype)
+                                dtype=dtype)
     if model_type == "LitePose":
-        return LitePose(k=kps_count, mode=mode, axis_name=axis_name,
-                        dtype=dtype)
+        return LitePose(k=kps_count, mode=mode, dtype=dtype)
     raise ValueError(f"unknown pose model {model_type!r}")
 
 
 def create_class_model(model_type: str, num_classes: int, mode: str = "AvgPool",
-                       axis_name: Optional[str] = None, dtype=None):
+                      dtype=None):
     """Reference ClassModel factory: VGG / ResNet / MobileNet CIFAR nets.
 
     Accepts bare family names ("VGG" -> VGG11, "ResNet" -> ResNet18) or the
@@ -41,14 +40,14 @@ def create_class_model(model_type: str, num_classes: int, mode: str = "AvgPool",
     if model_type.startswith("VGG"):
         variant = model_type if len(model_type) > 3 else "VGG11"
         return VGG(num_classes=num_classes, model_type=variant, mode=mode,
-                   axis_name=axis_name, dtype=dtype)
+                   dtype=dtype)
     if model_type.startswith("ResNet"):
         variant = model_type if len(model_type) > 6 else "ResNet18"
         return ResNet(num_classes=num_classes, model_type=variant, mode=mode,
-                      axis_name=axis_name, dtype=dtype)
+                      dtype=dtype)
     if model_type == "MobileNet":
         return MobileNet(num_classes=num_classes, mode=mode,
-                         axis_name=axis_name, dtype=dtype)
+                         dtype=dtype)
     raise ValueError(f"unknown classification model {model_type!r}")
 
 

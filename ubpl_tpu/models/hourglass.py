@@ -24,25 +24,23 @@ class StackedHourglass(nn.Module):
     k: int
     n_stack: int = 3
     mode: str = "AvgPool"
-    axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, imgs, train: bool = True):
-        an, dt = self.axis_name, self.dtype
+        dt = self.dtype
         # stem: [B,256,256,3] -> [B,64,64,256] (reference hourglass.py:21-27)
-        x = ConvBlock(64, 7, 2, bn=True, relu=True, axis_name=an, dtype=dt)(imgs, train)
-        x = ResidualBlock(128, an, dt)(x, train)
+        x = ConvBlock(64, 7, 2, bn=True, relu=True, dtype=dt)(imgs, train)
+        x = ResidualBlock(128, dt)(x, train)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = ResidualBlock(128, an, dt)(x, train)
-        x = ResidualBlock(256, an, dt)(x, train)
+        x = ResidualBlock(128, dt)(x, train)
+        x = ResidualBlock(256, dt)(x, train)
 
         preds_all, feats_all = [], []
         for i in range(self.n_stack):
-            hg = HourglassBlock(4, 256, 0, an, dt)(x, train)
-            feature = ResidualBlock(256, an, dt)(hg, train)
-            feature = ConvBlock(256, 1, bn=True, relu=True, axis_name=an,
-                                dtype=dt)(feature, train)
+            hg = HourglassBlock(4, 256, 0, dt)(x, train)
+            feature = ResidualBlock(256, dt)(hg, train)
+            feature = ConvBlock(256, 1, bn=True, relu=True, dtype=dt)(feature, train)
             if self.mode != "default":
                 feats_all.append(self._project(feature))
             preds = ConvBlock(self.k, 1, bn=False, relu=False, dtype=dt)(feature, train)

@@ -6,10 +6,10 @@ Initialization matches torch defaults (kaiming-uniform a=sqrt(5) == uniform
 (+-1/sqrt(fan_in)) for conv kernels and biases) so training dynamics track
 the reference.
 
-BatchNorm: torch momentum 0.1 -> flax momentum 0.9, eps 1e-5.  Pass
-``axis_name`` to sync batch statistics across a data-parallel mesh axis
-(the reference is single-device BN; cross-replica BN is the TPU-native
-choice so per-device batches of 4/8 don't starve the statistics).
+BatchNorm: torch momentum 0.1 -> flax momentum 0.9, eps 1e-5.  Under data
+parallelism batches are sharded with GSPMD, so BN statistics are computed
+over the global logical batch by construction — no axis_name/sync knob is
+needed (or present).
 """
 from typing import Optional
 
@@ -34,7 +34,6 @@ class ConvBlock(nn.Module):
     stride: int = 1
     bn: bool = False
     relu: bool = True
-    axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -50,8 +49,7 @@ class ConvBlock(nn.Module):
                     dtype=self.dtype)(x)
         if self.bn:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, axis_name=self.axis_name,
-                             dtype=self.dtype)(x)
+                             epsilon=1e-5, dtype=self.dtype)(x)
         if self.relu:
             x = nn.relu(x)
         return x
@@ -60,7 +58,6 @@ class ConvBlock(nn.Module):
 class ResidualBlock(nn.Module):
     """Reference Residual: pre-activation BN-ReLU 1-3-1 bottleneck + skip."""
     out_dim: int
-    axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -70,13 +67,11 @@ class ResidualBlock(nn.Module):
 
         def bn(y):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, axis_name=self.axis_name,
-                                dtype=self.dtype)(y)
+                                epsilon=1e-5, dtype=self.dtype)(y)
 
         residual = x
         if inp_dim != self.out_dim:
             residual = ConvBlock(self.out_dim, 1, relu=False,
-                                 axis_name=self.axis_name,
                                  dtype=self.dtype)(x, train)
         out = nn.relu(bn(x))
         out = ConvBlock(mid, 1, relu=False, dtype=self.dtype)(out, train)
@@ -97,21 +92,19 @@ class HourglassBlock(nn.Module):
     n: int
     f: int
     increase: int = 0
-    axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         nf = self.f + self.increase
-        up1 = ResidualBlock(self.f, self.axis_name, self.dtype)(x, train)
+        up1 = ResidualBlock(self.f, self.dtype)(x, train)
         low = nn.max_pool(x, (2, 2), strides=(2, 2))
-        low = ResidualBlock(nf, self.axis_name, self.dtype)(low, train)
+        low = ResidualBlock(nf, self.dtype)(low, train)
         if self.n > 1:
-            low = HourglassBlock(self.n - 1, nf, 0, self.axis_name,
-                                 self.dtype)(low, train)
+            low = HourglassBlock(self.n - 1, nf, 0, self.dtype)(low, train)
         else:
-            low = ResidualBlock(nf, self.axis_name, self.dtype)(low, train)
-        low = ResidualBlock(self.f, self.axis_name, self.dtype)(low, train)
+            low = ResidualBlock(nf, self.dtype)(low, train)
+        low = ResidualBlock(self.f, self.dtype)(low, train)
         return up1 + upsample_nearest_2x(low)
 
 

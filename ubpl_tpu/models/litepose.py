@@ -28,7 +28,6 @@ class ConvBNBase(nn.Module):
     kernel_size: int
     stride: int = 1
     activation: bool = True
-    axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -38,8 +37,7 @@ class ConvBNBase(nn.Module):
                     padding=[(k // 2,) * 2] * 2, use_bias=False,
                     kernel_init=torch_kernel_init, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, axis_name=self.axis_name,
-                         dtype=self.dtype)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         if self.activation:
             x = jnp.clip(x, 0.0, 6.0)  # ReLU6
         return x
@@ -50,19 +48,16 @@ class ConvMobileBlock(nn.Module):
     out_dim: int
     kernel_size: int
     stride: int = 1
-    axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         in_dim = x.shape[-1]
         mid = in_dim + self.out_dim // 2
-        y = ConvBNBase(mid, 1, activation=False, axis_name=self.axis_name,
-                       dtype=self.dtype)(x, train)
+        y = ConvBNBase(mid, 1, activation=False, dtype=self.dtype)(x, train)
         y = ConvBNBase(mid, self.kernel_size, self.stride, activation=False,
-                       axis_name=self.axis_name, dtype=self.dtype)(y, train)
-        y = ConvBNBase(self.out_dim, 1, axis_name=self.axis_name,
                        dtype=self.dtype)(y, train)
+        y = ConvBNBase(self.out_dim, 1, dtype=self.dtype)(y, train)
         if in_dim == self.out_dim and self.stride == 1:
             y = y + x
         return y
@@ -72,23 +67,22 @@ class LitePose(nn.Module):
     k: int
     mode: str = "default"
     arch: Sequence = ARCH2_CFG
-    axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     n_stack: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        an, dt = self.axis_name, self.dtype
+        dt = self.dtype
         # stem (reference c1): 3 -> 32 -> 16, /2
-        x = ConvBNBase(32, 3, 2, axis_name=an, dtype=dt)(x, train)
-        x = ConvBNBase(16, 3, 1, axis_name=an, dtype=dt)(x, train)
+        x = ConvBNBase(32, 3, 2, dtype=dt)(x, train)
+        x = ConvBNBase(16, 3, 1, dtype=dt)(x, train)
 
         checkpoints = [x]
         channels = [16]
         for stage in self.arch:
             for (_, out_c, ksz, stride) in stage:
-                x = ConvMobileBlock(out_c, ksz, stride, an, dt)(x, train)
+                x = ConvMobileBlock(out_c, ksz, stride, dt)(x, train)
             checkpoints.append(x)
             channels.append(stage[-1][1])
 
@@ -105,11 +99,11 @@ class LitePose(nn.Module):
                                     dtype=dt)(checkpoints[-l - 2])
             x = x + loop
             if l > 0:
-                ff = ConvBNBase(ch, 5, axis_name=an, dtype=dt)(x, train)
-                ff = ConvBNBase(self.k, 5, axis_name=an, dtype=dt)(ff, train)
+                ff = ConvBNBase(ch, 5, dtype=dt)(x, train)
+                ff = ConvBNBase(self.k, 5, dtype=dt)(ff, train)
                 raw = checkpoints[-l - 3]
-                fl = ConvBNBase(raw.shape[-1], 5, axis_name=an, dtype=dt)(raw, train)
-                fl = ConvBNBase(self.k, 5, axis_name=an, dtype=dt)(fl, train)
+                fl = ConvBNBase(raw.shape[-1], 5, dtype=dt)(raw, train)
+                fl = ConvBNBase(self.k, 5, dtype=dt)(fl, train)
                 outputs.append(ff + fl)
 
         if self.mode == "default":

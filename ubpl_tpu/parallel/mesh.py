@@ -32,6 +32,36 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
     return Mesh(arr, tuple(axes))
 
 
+def parse_axis_spec(value, cast=int) -> Tuple:
+    """Accept a tuple/list or a CLI string like "2,4" / "model,data"."""
+    if isinstance(value, str):
+        return tuple(cast(v.strip()) for v in value.split(",") if v.strip())
+    if isinstance(value, (int, float)):
+        return (cast(value),)
+    return tuple(cast(v) for v in value)
+
+
+def build_mesh(cfg, devices=None) -> Optional[Mesh]:
+    """Mesh for the production entry points, from Config.mesh_shape/mesh_axes.
+
+    mesh_shape None (default): all local devices on a ("data",) axis; returns
+    None on a single device (plain single-chip jit).  This is the new-surface
+    distributed backend (SURVEY §5) — the reference is strictly single-GPU.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if cfg.mesh_shape is None:
+        if len(devices) <= 1:
+            return None
+        return make_mesh((len(devices),), ("data",), devices)
+    shape = parse_axis_spec(cfg.mesh_shape, int)
+    axes = parse_axis_spec(cfg.mesh_axes, str)
+    need = int(np.prod(shape))
+    if need > len(devices):
+        raise ValueError(f"mesh_shape {shape} needs {need} devices, "
+                         f"have {len(devices)}")
+    return make_mesh(shape, axes, devices)
+
+
 def local_mesh_size() -> int:
     return len(jax.devices())
 

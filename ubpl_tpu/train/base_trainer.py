@@ -21,6 +21,7 @@ from ..ops import pck as PCK
 from ..ops import augment as A
 from ..utils import Logger, json_save
 from . import losses as L
+from ..data.arrays import pad_to_multiple
 from .common import forward_heatmaps, put_dataset, update_pck_counters
 
 
@@ -28,6 +29,8 @@ class BaseTrainer:
     regime = "Base"
     #: names of the validated heads; "mean" appends an ensemble-mean row
     valid_heads: Tuple[str, ...] = ("model",)
+    #: dual-teacher regimes can run the UBPL selection loop during training
+    supports_pseudo_loop = False
 
     def __init__(self, cfg: Config, logger=None, mesh=None):
         self.cfg = cfg
@@ -43,6 +46,8 @@ class BaseTrainer:
         self.best_epoch = [0] * n
         self.epoch = 0
         self._step_num = 0
+        self._pseudo_loop = None
+        self._pseudo_rounds_done = 0
 
     # ------------------------------------------------------------------ data
     def _setup_data(self):
@@ -63,14 +68,31 @@ class BaseTrainer:
         self.semi = semi
         self.labeled_idxs = list(semi.labeled_idxs)
         self.unlabeled_idxs = list(semi.unlabeled_idxs)
+        self.n_train = len(semi.semi_train)
+        self.n_valid = len(semi.valid)
+        sharding, mult = self._dataset_sharding()
         self.train_data = put_dataset(
-            materialize(semi.semi_train, cfg.inp_res, cfg.io_workers),
-            semi.means)
+            pad_to_multiple(materialize(semi.semi_train, cfg.inp_res,
+                                        cfg.io_workers), mult),
+            semi.means, sharding)
         self.valid_data = put_dataset(
-            materialize(semi.valid, cfg.inp_res, cfg.io_workers), semi.means)
+            pad_to_multiple(materialize(semi.valid, cfg.inp_res,
+                                        cfg.io_workers), mult),
+            semi.means, sharding)
         self.rng = np.random.default_rng(cfg.seed)
         self.means = jnp.asarray(semi.means, jnp.float32)
         self._setup_occluders()
+
+    def _dataset_sharding(self):
+        """HBM layout for the device-resident dataset: sample axis sharded
+        over the 'data' mesh axis (each chip holds N/d samples; per-step batch
+        gathers lower to masked local gathers + a batch-sized all-reduce, NOT
+        a dataset all-gather), replicated otherwise."""
+        if self.mesh is None or "data" not in self.mesh.axis_names:
+            return None, 1
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        d = self.mesh.shape["data"]
+        return NamedSharding(self.mesh, P("data")), d
 
     def _setup_occluders(self):
         """Occluder bank for use_occlusion (VOC2012 harvest or synthetic)."""
@@ -111,19 +133,24 @@ class BaseTrainer:
         self.semi = None
         self.labeled_idxs = list(range(n_lab))
         self.unlabeled_idxs = list(range(n_lab, n_train))
+        self.n_train, self.n_valid = n_train, n_valid
         means = [0.5, 0.5, 0.5]
-        self.train_data = put_dataset(train, means)
-        self.valid_data = put_dataset(make(n_valid), means)
+        sharding, mult = self._dataset_sharding()
+        self.train_data = put_dataset(pad_to_multiple(train, mult), means,
+                                      sharding)
+        self.valid_data = put_dataset(pad_to_multiple(make(n_valid), mult),
+                                      means, sharding)
         self.rng = np.random.default_rng(cfg.seed)
         self.means = jnp.asarray(means, jnp.float32)
         self._setup_occluders()
 
     # ------------------------------------------------------------------ mesh
     def _shard_for_mesh(self):
-        """Lay the state/data out over the mesh: stacked branch axis over
-        'model' (when present), everything else replicated; batches get
-        constrained to 'data' inside the step.  GSPMD inserts the ICI
-        collectives."""
+        """Lay the model/optimizer state out over the mesh: stacked branch
+        axis over 'model' (when present), everything else replicated; the
+        dataset is already sharded over 'data' at placement time
+        (_dataset_sharding) and batches get constrained to 'data' inside the
+        step.  GSPMD inserts the ICI collectives."""
         from jax.sharding import NamedSharding, PartitionSpec as P
         mesh = self.mesh
         repl = NamedSharding(mesh, P())
@@ -138,14 +165,10 @@ class BaseTrainer:
             return jax.device_put(x, repl)
 
         self.state = jax.tree_util.tree_map(place_state, self.state)
-        self.train_data = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, repl), self.train_data)
-        self.valid_data = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, repl), self.valid_data)
         self.means = jax.device_put(self.means, repl)
 
-    def make_branch_forward(self, model, dtype, train=True):
-        """Forward over the stacked branch axis [M, ...].
+    def make_branch_forward(self, model, dtype, train=True, n_branch=None):
+        """Forward over a stacked branch axis [n_branch, ...].
 
         Without a 'model' mesh axis: vmap over stacked params (images
         broadcast to a mapped axis — an unmapped conv operand makes vmap emit
@@ -153,16 +176,18 @@ class BaseTrainer:
 
         With a 'model' mesh axis: shard_map manual over 'model' (each branch
         runs plain convs on its own submesh; 'data' stays GSPMD-auto inside)
-        — real branch parallelism on ICI.
+        — real branch parallelism on ICI.  n_branch may be any multiple of
+        the axis size (e.g. 2 students + 2 teachers stacked as 4 over
+        model=2: each submesh runs its local branches via vmap).
         """
-        n_models = self.n_models
+        n_branch = n_branch or self.n_models
         mesh = self.mesh
         use_smap = mesh is not None and "model" in mesh.axis_names
 
         if not use_smap:
             def fwd(params_m, bs_m, images):
                 images_m = jnp.broadcast_to(images,
-                                            (n_models,) + images.shape)
+                                            (n_branch,) + images.shape)
 
                 def one(p, b, x):
                     return forward_heatmaps(model, p, b, x, train, dtype)
@@ -175,15 +200,29 @@ class BaseTrainer:
         except ImportError:
             from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
+        m_size = mesh.shape["model"]
+        if n_branch % m_size != 0:
+            raise ValueError(f"branch axis {n_branch} not divisible by "
+                             f"'model' mesh axis ({m_size})")
+        local_n = n_branch // m_size
 
         def body(p_local, b_local, images):
-            p = jax.tree_util.tree_map(lambda t: t[0], p_local)
-            b = jax.tree_util.tree_map(lambda t: t[0], b_local)
-            (preds, feats), new_b = forward_heatmaps(model, p, b, images,
-                                                     train, dtype)
-            expand = lambda t: t[None]
-            return (expand(preds), expand(feats),
-                    jax.tree_util.tree_map(expand, new_b))
+            def one(p, b):
+                return forward_heatmaps(model, p, b, images, train, dtype)
+
+            if local_n == 1:
+                p = jax.tree_util.tree_map(lambda t: t[0], p_local)
+                b = jax.tree_util.tree_map(lambda t: t[0], b_local)
+                (preds, feats), new_b = one(p, b)
+                expand = lambda t: t[None]
+                return (expand(preds), expand(feats),
+                        jax.tree_util.tree_map(expand, new_b))
+            images_l = jnp.broadcast_to(images, (local_n,) + images.shape)
+            (preds, feats), new_b = jax.vmap(
+                lambda p, b, x: forward_heatmaps(model, p, b, x, train,
+                                                 dtype))(p_local, b_local,
+                                                         images_l)
+            return preds, feats, new_b
 
         sm = shard_map(body, mesh=mesh,
                        in_specs=(P("model"), P("model"), P()),
@@ -200,9 +239,77 @@ class BaseTrainer:
         """Inside-step hint: shard the batch dim over the 'data' axis."""
         if self.mesh is None or "data" not in self.mesh.axis_names:
             return x
+        d = self.mesh.shape["data"]
+        if x.shape[0] % d != 0:
+            raise ValueError(
+                f"global batch {x.shape[0]} is not divisible by the 'data' "
+                f"mesh axis ({d}); set train_bs to a multiple of it (or "
+                "shrink mesh_shape)")
         from jax.sharding import NamedSharding, PartitionSpec as P
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(self.mesh, P("data", *([None] * (x.ndim - 1)))))
+
+    # ------------------------------------------------------------- step exec
+    def compile_train_step(self, step):
+        """jit the per-batch step; with cfg.scan_batches > 1 also build a
+        lax.scan variant running k stacked batches per device call (amortizes
+        dispatch overhead — the reference's bs=4 configs are dispatch-bound
+        as single steps)."""
+        cfg = self.cfg
+        donate = (0,) if cfg.donate_state else ()
+        self.train_step = jax.jit(step, donate_argnums=donate)
+        self.train_scan_step = None
+        if cfg.scan_batches > 1:
+            def scan_step(state, idxs_stack, step0, *sched):
+                offs = jnp.arange(idxs_stack.shape[0])
+
+                def body(st, inp):
+                    off, idxs = inp
+                    return step(st, idxs, step0 + 1 + off, *sched)
+
+                return jax.lax.scan(body, state, (offs, idxs_stack))
+
+            self.train_scan_step = jax.jit(scan_step, donate_argnums=donate)
+
+    def run_train_steps(self, batch_iter, *sched_args):
+        """Drive one epoch's batches through train_step (and the scan variant
+        for full k-chunks).  Returns per-step metric dicts; host sync is
+        deferred to the caller's reduction (keeps the device queue full)."""
+        k = self.cfg.scan_batches
+        raw = []
+
+        def plain(idxs):
+            self._step_num += 1
+            self.state, m = self.train_step(self.state, jnp.asarray(idxs),
+                                            self._step_num, *sched_args)
+            raw.append((m, 0))
+
+        if k <= 1 or self.train_scan_step is None:
+            for idxs in batch_iter:
+                plain(idxs)
+        else:
+            buf = []
+            for idxs in batch_iter:
+                buf.append(np.asarray(idxs))
+                if len(buf) == k:
+                    stack = jnp.asarray(np.stack(buf))
+                    step0 = self._step_num
+                    self._step_num += k
+                    self.state, ms = self.train_scan_step(
+                        self.state, stack, step0, *sched_args)
+                    raw.append((ms, k))
+                    buf = []
+            for idxs in buf:    # leftover partial chunk: plain steps
+                plain(idxs)
+        metrics = []
+        for m, kk in raw:
+            if kk == 0:
+                metrics.append(m)
+            else:
+                for i in range(kk):
+                    metrics.append(jax.tree_util.tree_map(
+                        lambda t, i=i: t[i], m))
+        return metrics
 
     # ----------------------------------------------------------------- model
     def _make_model(self):
@@ -273,8 +380,7 @@ class BaseTrainer:
         err_cs = [L.AvgCounters() for _ in range(n_heads)]
         preds_arrays = [[] for _ in range(n_heads)]
         k = cfg.kps_count
-        n = self.valid_data.images.shape[0]
-        for idxs in valid_batches(n, cfg.infer_bs):
+        for idxs in valid_batches(self.n_valid, cfg.infer_bs):
             imgs = self.valid_data.images[jnp.asarray(idxs)]
             kps = self.valid_data.kps[jnp.asarray(idxs)]
             coords, errs, accs = validate_step(params_stacked, bs_stacked,
@@ -319,6 +425,46 @@ class BaseTrainer:
         self.best_epoch = [int(e) for e in np.atleast_1d(be)]
         return int(meta["current_epoch"]) + 1
 
+    def maybe_pseudo_round(self, epo, base_path=None):
+        """cfg.pseudo_rounds > 0: run one UBPL selection round every
+        pseudo_interval epochs (dual-teacher regimes only) — the reference's
+        dormant business.py + dataset.update workflow as a first-class
+        trainer feature.  Returns the Selection or None."""
+        cfg = self.cfg
+        if not (self.supports_pseudo_loop and cfg.pseudo_rounds > 0):
+            return None
+        if (epo + 1) % max(cfg.pseudo_interval, 1) != 0:
+            return None
+        if self._pseudo_rounds_done >= cfg.pseudo_rounds:
+            return None
+        if not self.unlabeled_idxs:
+            return None
+        from .pseudo_loop import PseudoLabelingLoop
+        if self._pseudo_loop is None:
+            self._pseudo_loop = PseudoLabelingLoop(
+                self, aug_views=cfg.pseudo_aug_views,
+                reliable_pct=cfg.pseudo_reliable_pct,
+                batch_size=cfg.infer_bs)
+        sel, ens = self._pseudo_loop.round(
+            jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 7919 + epo))
+        self._pseudo_rounds_done += 1
+        n_sel = int(sel.sel_counts[-1])
+        self.logger.print(
+            "L1", "[pseudo round {}/{}] selected {} kps "
+            "(sel acc: {:.4f}, sel err: {:.3f}, thr: {:.4f})".format(
+                self._pseudo_rounds_done, cfg.pseudo_rounds, n_sel,
+                float(sel.sel_accs[-1]), float(sel.sel_errs[-1]),
+                sel.threshold))
+        if base_path:
+            json_save({"epoch": epo + 1, "selected": n_sel,
+                       "threshold": sel.threshold,
+                       "sel_counts": np.asarray(sel.sel_counts).tolist(),
+                       "sel_accs": np.asarray(sel.sel_accs).tolist(),
+                       "sel_errs": np.asarray(sel.sel_errs).tolist()},
+                      f"{base_path}/logs/pseudoRounds/round_{epo + 1}.json",
+                      is_cover=True)
+        return sel
+
     def maybe_debug_draw(self, base_path, epo):
         """cfg.debug: dump the first labeled batch's augmentation stages
         (reference --debug draw surface)."""
@@ -351,6 +497,7 @@ class BaseTrainer:
                        and epo == start_epoch):
                 losses = self.train_epoch(epo, schedules)
             preds, accs, errs = self.validate()
+            self.maybe_pseudo_round(epo, base_path)
             is_best = []
             for m in range(len(self.valid_heads)):
                 flag = accs[m][-1] > self.best_acc[m]
@@ -428,3 +575,18 @@ def make_experiment(cfg: Config, exp_mark: str):
     base_path = f"{cfg.experiment_root}/{experiment}"
     logger = Logger(experiment, base_path=base_path)
     return experiment, base_path, logger
+
+
+def run_regime(trainer_cls, exp_mark: str, params=None):
+    """Shared exec() body for every regime's entry point: config override,
+    experiment naming, and the production device mesh (Config.mesh_shape/
+    mesh_axes via parallel.build_mesh — default: all local devices as 'data')."""
+    from ..parallel import build_mesh
+    cfg = Config().override(params)
+    np.random.seed(cfg.seed)
+    _, base_path, logger = make_experiment(cfg, exp_mark)
+    mesh = build_mesh(cfg)
+    if mesh is not None:
+        logger.print("L1", "=> mesh {} over {} devices".format(
+            dict(mesh.shape), mesh.devices.size))
+    return trainer_cls(cfg, logger, mesh=mesh).run(base_path)

@@ -272,3 +272,31 @@ class ClassificationTrainer:
                         acc, self.best_acc, self.best_epoch + 1), start=tm)
             history.append({**losses, "acc": acc})
         return history
+
+
+def exec_regime(exp_mark="Classification", params=None, mode=None):
+    """CLI entry for the classification branch (reference side branch:
+    models/classification + datasources/classification, never wired into
+    projects/exec.py there; first-class here).
+
+    mode: supervised | mt | mt_ubpl (default mt); cfg.model picks the net
+    (VGG / ResNet / MobileNet); cfg.data_source cifar10 | cifar100.
+    """
+    from ..config import Config
+    from .base_trainer import make_experiment
+    params = dict(params or {})
+    mode = mode or params.pop("mode", "mt")
+    cfg = Config().override(params)
+    if cfg.model.startswith(("HG", "LitePose")):
+        cfg.model = "VGG"               # pose default doesn't apply here
+    if cfg.data_source not in ("cifar10", "cifar100"):
+        cfg.data_source = "cifar10"
+    np.random.seed(cfg.seed)
+    _, base_path, logger = make_experiment(cfg, f"{exp_mark}_{mode}")
+    trainer = ClassificationTrainer(cfg, mode=mode, logger=logger)
+    history = trainer.run()
+    from ..utils import json_save
+    json_save({"history": history, "best_acc": trainer.best_acc,
+               "best_epoch": trainer.best_epoch},
+              f"{base_path}/logs/classification.json", is_cover=True)
+    return history

@@ -26,14 +26,21 @@ class DeviceDataset(NamedTuple):
 
 
 def put_dataset(arrays, means, sharding=None) -> DeviceDataset:
-    put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
-        else jax.device_put
+    """Place the dataset in HBM; `sharding` (a NamedSharding over the 'data'
+    mesh axis) splits the sample axis across chips, means stay replicated."""
+    if sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        put = lambda x: jax.device_put(x, sharding)
+        put_repl = lambda x: jax.device_put(
+            x, NamedSharding(sharding.mesh, P()))
+    else:
+        put = put_repl = jax.device_put
     return DeviceDataset(
         images=put(np.asarray(arrays.images)),
         kps=put(np.asarray(arrays.kps)),
         kps_test=put(np.asarray(arrays.kps_test)),
         islabeled=put(np.asarray(arrays.islabeled)),
-        means=put(np.asarray(means, np.float32)),
+        means=put_repl(np.asarray(means, np.float32)),
     )
 
 

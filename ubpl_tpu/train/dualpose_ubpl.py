@@ -26,6 +26,7 @@ class DualPoseUBPLTrainer(BaseTrainer):
     regime = "DualPose_UBPL"
     valid_heads = ("teacher1", "teacher2", "mean")
     n_models = 2
+    supports_pseudo_loop = True   # cfg.pseudo_rounds > 0 enables UBPL rounds
 
     def _setup_model(self):
         cfg = self.cfg
@@ -153,12 +154,12 @@ class DualPoseUBPLTrainer(BaseTrainer):
                                   ema_bs, new_opt)
             return new_state, aux
 
-        donate = (0,) if cfg.donate_state else ()
-        self.train_step = jax.jit(step, donate_argnums=donate)
+        self.compile_train_step(step)
         self.validate_step = self._build_validate_multi(self.model,
                                                         self.n_models, True)
 
-    epoch_schedules = None  # assigned below to share MT_UBPL's schedules
+    def epoch_schedules(self, epo):
+        return S.ssl_epoch_schedules(self.cfg, epo)
 
     def make_sampler(self):
         cfg = self.cfg
@@ -172,14 +173,10 @@ class DualPoseUBPLTrainer(BaseTrainer):
         mtc_cs = [L.AvgCounter() for _ in range(M)]
         epc_cs = [L.AvgCounter() for _ in range(M)]
         fdc_c = L.AvgCounter()
-        metrics = []
-        for idxs in self.make_sampler():
-            self._step_num += 1
-            self.state, m = self.train_step(
-                self.state, jnp.asarray(idxs), self._step_num,
-                schedules["cons_weight"], schedules["fdl_weight"],
-                schedules["pseudo_weight"], schedules["ema_alpha"])
-            metrics.append(m)  # defer host sync: keep the device queue full
+        metrics = self.run_train_steps(
+            self.make_sampler(), schedules["cons_weight"],
+            schedules["fdl_weight"], schedules["pseudo_weight"],
+            schedules["ema_alpha"])
         for m in metrics:
             for i in range(M):
                 pec_cs[i].update(float(m["pec"][i]), int(m["pec_count"][i]))
@@ -205,21 +202,13 @@ class DualPoseUBPLTrainer(BaseTrainer):
                     losses["fdc_loss"], accs[-1][-1], errs[-1][-1]))
 
 
-# DualPose shares MT_UBPL's epoch schedules (cons/FDL/pseudo ramps + EMA)
-from .mt_ubpl import MTUBPLTrainer as _M  # noqa: E402
-DualPoseUBPLTrainer.epoch_schedules = _M.epoch_schedules
-
-
 def exec_regime(exp_mark="DualPose_UBPL", params=None):
-    from ..config import Config
-    from .base_trainer import make_experiment
-    cfg = Config().override(params)
+    from .base_trainer import run_regime
     # the reference's DualPose defaults weaken the teacher view
     # (projects/DualPose_UBPL.py exec grid uses scaleRange_ema=0.05, rotRange_ema=5.0)
-    if params is None or "scale_range_ema" not in params:
-        cfg.scale_range_ema = 0.05
-    if params is None or "rot_range_ema" not in params:
-        cfg.rot_range_ema = 5.0
-    np.random.seed(cfg.seed)
-    _, base_path, logger = make_experiment(cfg, exp_mark)
-    return DualPoseUBPLTrainer(cfg, logger).run(base_path)
+    params = dict(params or {})
+    if not any(k in params for k in ("scale_range_ema", "scaleRange_ema")):
+        params["scale_range_ema"] = 0.05
+    if not any(k in params for k in ("rot_range_ema", "rotRange_ema")):
+        params["rot_range_ema"] = 5.0
+    return run_regime(DualPoseUBPLTrainer, exp_mark, params)

@@ -114,8 +114,7 @@ class MeanTeacherTrainer(BaseTrainer):
                                 ema_bs, new_opt)
             return new_state, aux
 
-        donate = (0,) if cfg.donate_state else ()
-        self.train_step = jax.jit(step, donate_argnums=donate)
+        self.compile_train_step(step)
         self.validate_step = self._build_validate_multi(self.model, 2, False)
 
     # ------------------------------------------------------------------ loop
@@ -134,13 +133,9 @@ class MeanTeacherTrainer(BaseTrainer):
 
     def train_epoch(self, epo, schedules):
         counters = {k: L.AvgCounter() for k in ("pec", "mtc")}
-        metrics = []
-        for idxs in self.make_sampler():
-            self._step_num += 1
-            self.state, m = self.train_step(
-                self.state, jnp.asarray(idxs), self._step_num,
-                schedules["cons_weight"], schedules["ema_alpha"])
-            metrics.append(m)  # defer host sync
+        metrics = self.run_train_steps(self.make_sampler(),
+                                       schedules["cons_weight"],
+                                       schedules["ema_alpha"])
         for m in metrics:
             counters["pec"].update(float(m["pec_loss"]), int(m["pec_count"]))
             counters["mtc"].update(float(m["mtc_loss"]), int(m["mtc_count"]))
@@ -156,9 +151,5 @@ class MeanTeacherTrainer(BaseTrainer):
 
 
 def exec_regime(exp_mark="MT", params=None):
-    from ..config import Config
-    from .base_trainer import make_experiment
-    cfg = Config().override(params)
-    np.random.seed(cfg.seed)
-    _, base_path, logger = make_experiment(cfg, exp_mark)
-    return MeanTeacherTrainer(cfg, logger).run(base_path)
+    from .base_trainer import run_regime
+    return run_regime(MeanTeacherTrainer, exp_mark, params)

@@ -43,6 +43,7 @@ class MTUBPLTrainer(BaseTrainer):
     regime = "MT_UBPL"
     valid_heads = ("teacher1", "teacher2", "mean")
     n_models = 2
+    supports_pseudo_loop = True   # cfg.pseudo_rounds > 0 enables UBPL rounds
 
     @property
     def n_views(self):
@@ -75,11 +76,18 @@ class MTUBPLTrainer(BaseTrainer):
         fdl_cov = cfg.fdl_type == "covariance"
         fdl_label = cfg.fdl_label
         n_views = self.n_views
-
-        branch_fwd = self.make_branch_forward(model, dtype, train=True)
+        M = self.n_models
+        # fused path: 2 students + 2 teachers stacked as one 4-network branch
+        # axis, so every view is ONE batched forward instead of separate
+        # student/teacher dispatches (the teacher halves are stop_gradient'd)
+        fuse = bool(cfg.fuse_teacher_forward)
+        branch_fwd = self.make_branch_forward(
+            model, dtype, train=True, n_branch=2 * M if fuse else M)
 
         def fwd_stacked(params_m, bs_m, images, train=True):
             return branch_fwd(params_m, bs_m, images)
+
+        concat0 = lambda a, b: jnp.concatenate([a, b], axis=0)
 
         def step(state: DualState, idxs, step_num, cons_weight, fdl_weight,
                  pseudo_weight, ema_alpha):
@@ -113,14 +121,30 @@ class MTUBPLTrainer(BaseTrainer):
                     fs.append(f)
                 return ps, fs, bs_m
 
-            # teachers (no grad; train-mode BN, reference MT_UBPL.py:235-238)
-            outs_ema, _, ema_bs = forward_views(state.ema_params,
-                                                state.ema_batch_stats)
-            outs_ema = [jax.lax.stop_gradient(p) for p in outs_ema]
+            if not fuse:
+                # teachers (no grad; train-mode BN, MT_UBPL.py:235-238)
+                outs_ema_pre, _, ema_bs_pre = forward_views(
+                    state.ema_params, state.ema_batch_stats)
+                outs_ema_pre = [jax.lax.stop_gradient(p)
+                                for p in outs_ema_pre]
 
             def loss_fn(params):
-                outs, feats, bs_state = forward_views(params,
-                                                      state.batch_stats)
+                if fuse:
+                    p4 = jax.tree_util.tree_map(concat0, params,
+                                                state.ema_params)
+                    b4 = jax.tree_util.tree_map(concat0, state.batch_stats,
+                                                state.ema_batch_stats)
+                    ps, fs, new_b4 = forward_views(p4, b4)
+                    outs = [p[:M] for p in ps]
+                    feats = [f[:M] if f is not None else None for f in fs]
+                    outs_ema = [jax.lax.stop_gradient(p[M:]) for p in ps]
+                    bs_state = jax.tree_util.tree_map(lambda t: t[:M], new_b4)
+                    ema_bs = jax.tree_util.tree_map(
+                        lambda t: jax.lax.stop_gradient(t[M:]), new_b4)
+                else:
+                    outs, feats, bs_state = forward_views(params,
+                                                          state.batch_stats)
+                    outs_ema, ema_bs = outs_ema_pre, ema_bs_pre
                 # outs[a]: [M, B, S, H, W, K]; feats[a]: [M, B, S, hf, wf, C]
 
                 mtc_sum = jnp.zeros((self.n_models,))
@@ -183,7 +207,7 @@ class MTUBPLTrainer(BaseTrainer):
                        "epc": epc, "epc_count": epc_count,
                        "fdc": fdc, "fdc_count": fdc_count,
                        "n_pseudo": n_pseudo, "n_sel": n_sel,
-                       "batch_stats": bs_state}
+                       "batch_stats": bs_state, "ema_batch_stats": ema_bs}
                 return total, aux
 
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -194,30 +218,17 @@ class MTUBPLTrainer(BaseTrainer):
                 lambda e, p: ema_alpha * e + (1.0 - ema_alpha) * p,
                 state.ema_params, params)
             new_state = DualState(params, aux.pop("batch_stats"), ema_params,
-                                  ema_bs, new_opt)
+                                  aux.pop("ema_batch_stats"), new_opt)
             return new_state, aux
 
-        donate = (0,) if cfg.donate_state else ()
-        self.train_step = jax.jit(step, donate_argnums=donate)
+        self.compile_train_step(step)
         # validate both teachers + their prediction mean (MT_UBPL.py:355-408)
         self.validate_step = self._build_validate_multi(self.model,
                                                         self.n_models, True)
 
     # ------------------------------------------------------------------ loop
     def epoch_schedules(self, epo):
-        cfg = self.cfg
-        return {
-            "cons_weight": S.cons_weight(epo, cfg.cons_weight_max,
-                                         cfg.cons_weight_min,
-                                         cfg.cons_weight_rampup),
-            "fdl_weight": S.fdl_weight(epo, cfg.fdl_weight_max,
-                                       cfg.fdl_weight_min,
-                                       cfg.fdl_weight_rampup),
-            "pseudo_weight": S.pseudo_weight(epo, cfg.pseudo_weight_max,
-                                             cfg.pseudo_weight_min,
-                                             cfg.pseudo_weight_rampup),
-            "ema_alpha": S.ema_alpha(epo, cfg.ema_decay),
-        }
+        return S.ssl_epoch_schedules(self.cfg, epo)
 
     def make_sampler(self):
         cfg = self.cfg
@@ -231,14 +242,10 @@ class MTUBPLTrainer(BaseTrainer):
         mtc_cs = [L.AvgCounter() for _ in range(M)]
         epc_cs = [L.AvgCounter() for _ in range(M)]
         fdc_c = L.AvgCounter()
-        metrics = []
-        for idxs in self.make_sampler():
-            self._step_num += 1
-            self.state, m = self.train_step(
-                self.state, jnp.asarray(idxs), self._step_num,
-                schedules["cons_weight"], schedules["fdl_weight"],
-                schedules["pseudo_weight"], schedules["ema_alpha"])
-            metrics.append(m)  # defer host sync: keep the device queue full
+        metrics = self.run_train_steps(
+            self.make_sampler(), schedules["cons_weight"],
+            schedules["fdl_weight"], schedules["pseudo_weight"],
+            schedules["ema_alpha"])
         for m in metrics:
             for i in range(M):
                 pec_cs[i].update(float(m["pec"][i]), int(m["pec_count"][i]))
@@ -265,9 +272,5 @@ class MTUBPLTrainer(BaseTrainer):
 
 
 def exec_regime(exp_mark="MT_UBPL", params=None):
-    from ..config import Config
-    from .base_trainer import make_experiment
-    cfg = Config().override(params)
-    np.random.seed(cfg.seed)
-    _, base_path, logger = make_experiment(cfg, exp_mark)
-    return MTUBPLTrainer(cfg, logger).run(base_path)
+    from .base_trainer import run_regime
+    return run_regime(MTUBPLTrainer, exp_mark, params)

@@ -43,6 +43,10 @@ class PseudoLabelingLoop:
         self.lma_int = [P.LMACache((n_unl, cfg.kps_count)) for _ in range(2)] \
             if use_lma else None
         self.lma_ext = P.LMACache((n_unl, cfg.kps_count)) if use_lma else None
+        # pristine copies: each apply RESETS then injects, like the
+        # reference's dataArray_reset (datasets/dataset_mds.py:15-16)
+        self._kps0 = np.array(trainer.train_data.kps)
+        self._islabeled0 = np.array(trainer.train_data.islabeled)
         self._build_infer()
 
     def _build_infer(self):
@@ -125,12 +129,24 @@ class PseudoLabelingLoop:
         return sel, ens
 
     def _apply(self, sample_idxs, coords, enable):
-        """dataset.update(): inject pseudo kps, refresh device data + steps."""
+        """dataset.update() semantics (datasets/dataset_mds.py:14-25): reset
+        to the pristine arrays, inject enabled pseudo kps with vis=1, and
+        flip the sample into the labeled pool (islabeled=1) so the 'pos'
+        sample weights apply the PEC loss to it; refresh device data + steps.
+        Sampler index lists stay fixed, as in the reference (the loader is
+        never rebuilt there)."""
         tr = self.trainer
-        kps = np.array(tr.train_data.kps)  # copy: device buffers are read-only
+        kps = self._kps0.copy()
+        islabeled = self._islabeled0.copy()
         for row, c, e in zip(sample_idxs, coords, enable):
             m = e > 0
-            kps[row, m, 0:2] = c[m]
-            kps[row, m, 2] = 1.0
-        tr.train_data = tr.train_data._replace(kps=jax.device_put(kps))
+            if m.any():
+                kps[row, m, 0:2] = c[m]
+                kps[row, m, 2] = 1.0
+                islabeled[row] = 1
+        sharding = tr.train_data.kps.sharding
+        tr.train_data = tr.train_data._replace(
+            kps=jax.device_put(kps, sharding),
+            islabeled=jax.device_put(islabeled,
+                                     tr.train_data.islabeled.sharding))
         tr._build_steps()  # steps close over the device arrays

@@ -75,3 +75,20 @@ def cawr_schedule(epo, stages, start_values, min_value):
     rampup = stages_plus[in_idx + 1] - stages_plus[in_idx]
     epo_v = (epo - stages_plus[in_idx]) if in_idx > 0 else epo
     return value_decrease(epo_v, max_v, min_value, rampup)
+
+
+def ssl_epoch_schedules(cfg, epo) -> dict:
+    """The per-epoch scalar schedule shared by the dual-branch UBPL regimes
+    (MT_UBPL and DualPose_UBPL use identical ramps, projects/MT_UBPL.py:72-76
+    / DualPose_UBPL.py:71-75)."""
+    return {
+        "cons_weight": cons_weight(epo, cfg.cons_weight_max,
+                                   cfg.cons_weight_min,
+                                   cfg.cons_weight_rampup),
+        "fdl_weight": fdl_weight(epo, cfg.fdl_weight_max, cfg.fdl_weight_min,
+                                 cfg.fdl_weight_rampup),
+        "pseudo_weight": pseudo_weight(epo, cfg.pseudo_weight_max,
+                                       cfg.pseudo_weight_min,
+                                       cfg.pseudo_weight_rampup),
+        "ema_alpha": ema_alpha(epo, cfg.ema_decay),
+    }

@@ -65,8 +65,7 @@ class SupervisedTrainer(BaseTrainer):
             return TrainState(params, new_bs, new_opt), {"pec_loss": loss,
                                                          "pec_count": n}
 
-        donate = (0,) if cfg.donate_state else ()
-        self.train_step = jax.jit(step, donate_argnums=donate)
+        self.compile_train_step(step)
         self.validate_step = build_validate_step(
             model, cfg, np.asarray(self.means), dtype)
 
@@ -76,13 +75,9 @@ class SupervisedTrainer(BaseTrainer):
     def train_epoch(self, epo, schedules=None):
         cfg = self.cfg
         pec_counter = L.AvgCounter()
-        metrics = []
-        for idxs in supervised_epoch_batches(self.labeled_idxs, cfg.train_bs,
-                                             self.rng):
-            self._step_num += 1
-            self.state, m = self.train_step(self.state, jnp.asarray(idxs),
-                                            self._step_num)
-            metrics.append(m)  # defer host sync: keep the device queue full
+        metrics = self.run_train_steps(
+            supervised_epoch_batches(self.labeled_idxs, cfg.train_bs,
+                                     self.rng))
         for m in metrics:
             pec_counter.update(float(m["pec_loss"]), int(m["pec_count"]))
         return {"pec_loss": pec_counter.avg}
@@ -94,8 +89,7 @@ class SupervisedTrainer(BaseTrainer):
         acc_c, err_c = L.AvgCounters(), L.AvgCounters()
         preds_array = []
         k = cfg.kps_count
-        n = self.valid_data.images.shape[0]
-        for idxs in valid_batches(n, cfg.infer_bs):
+        for idxs in valid_batches(self.n_valid, cfg.infer_bs):
             imgs = self.valid_data.images[jnp.asarray(idxs)]
             kps = self.valid_data.kps[jnp.asarray(idxs)]
             coords, scores, errs, accs = self.validate_step(
@@ -111,9 +105,5 @@ class SupervisedTrainer(BaseTrainer):
 
 
 def exec_regime(exp_mark="Supervised", params=None):
-    from ..config import Config
-    from .base_trainer import make_experiment
-    cfg = Config().override(params)
-    np.random.seed(cfg.seed)
-    _, base_path, logger = make_experiment(cfg, exp_mark)
-    return SupervisedTrainer(cfg, logger).run(base_path)
+    from .base_trainer import run_regime
+    return run_regime(SupervisedTrainer, exp_mark, params)
