@@ -77,14 +77,12 @@ class PoseEstimator:
         leaves = jax.tree_util.tree_leaves(params)
         sample = jnp.zeros((1, cfg.inp_res, cfg.inp_res, 3))
         ref_params, _ = init_model(net, jax.random.PRNGKey(0), sample)
-        n_ref = len(jax.tree_util.tree_leaves(ref_params))
         if leaves and leaves[0].ndim > jax.tree_util.tree_leaves(
                 ref_params)[0].ndim:
             # stacked dual-branch state: select one branch
             params = jax.tree_util.tree_map(lambda t: t[branch], params)
             batch_stats = jax.tree_util.tree_map(lambda t: t[branch],
                                                  batch_stats)
-        del n_ref
         return cls(net, params, batch_stats, means, cfg)
 
     def predict(self, images_u8):
