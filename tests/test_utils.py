@@ -73,3 +73,22 @@ def test_draw_kps():
                          pck_ref=(0,))
     assert img.shape == (32, 32, 3)
     assert img.sum() > 0  # something drawn
+
+
+def test_run_report_xlsx(tmp_path):
+    """Reference xlsx artifact (utils/base/comm.py:105-173) without openpyxl:
+    valid OOXML zip, best cell of the highlight column filled."""
+    import zipfile
+    import xml.dom.minidom
+    from ubpl_tpu.utils.report import RunReport
+    rep = RunReport(["epoch", "loss", "acc"])
+    rep.add_row(epoch=1, loss=0.5, acc=0.1)
+    rep.add_row(epoch=2, loss=0.3, acc=0.42)
+    path = str(tmp_path / "r.xlsx")
+    rep.to_xlsx(path, highlight_column="acc")
+    z = zipfile.ZipFile(path)
+    for n in z.namelist():
+        if n.endswith(".xml"):
+            xml.dom.minidom.parseString(z.read(n))
+    sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    assert "<v>0.42</v>" in sheet and 's="2"' in sheet

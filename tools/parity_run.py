@@ -32,11 +32,13 @@ def pin_reference_split(cache_dir="/tmp/ubpl_parity_cache"):
 def main():
     regime = sys.argv[1] if len(sys.argv) > 1 else "supervised"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    resume = len(sys.argv) > 3 and sys.argv[3] == "--resume"
 
     from ubpl_tpu.config import Config
     cache_dir = pin_reference_split()
     base_path = f"/tmp/ubpl_parity/{regime}"
-    shutil.rmtree(base_path, ignore_errors=True)
+    if not resume:
+        shutil.rmtree(base_path, ignore_errors=True)
 
     cfg = Config(model="HG3", data_source="Mouse", train_count=100,
                  valid_count=500, label_ratio=0.3, epochs=epochs,
@@ -49,7 +51,7 @@ def main():
         raise SystemExit(f"unknown regime {regime}")
 
     trainer = Trainer(cfg)
-    trainer.run(base_path)
+    trainer.run(base_path, resume=resume)
 
     out = {"regime": regime, "epochs": epochs, "split": "Mouse_100_500_0.3",
            "valid_n": 500, "per_epoch": {}}

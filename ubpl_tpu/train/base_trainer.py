@@ -167,7 +167,8 @@ class BaseTrainer:
         self.state = jax.tree_util.tree_map(place_state, self.state)
         self.means = jax.device_put(self.means, repl)
 
-    def make_branch_forward(self, model, dtype, train=True, n_branch=None):
+    def make_branch_forward(self, model, dtype, train=True, n_branch=None,
+                            stacked_images=False):
         """Forward over a stacked branch axis [n_branch, ...].
 
         Without a 'model' mesh axis: vmap over stacked params (images
@@ -179,6 +180,9 @@ class BaseTrainer:
         — real branch parallelism on ICI.  n_branch may be any multiple of
         the axis size (e.g. 2 students + 2 teachers stacked as 4 over
         model=2: each submesh runs its local branches via vmap).
+
+        stacked_images=True: images arrive pre-stacked [n_branch, B, ...]
+        (per-branch views, e.g. DualPose's strong student / weak teacher).
         """
         n_branch = n_branch or self.n_models
         mesh = self.mesh
@@ -186,8 +190,8 @@ class BaseTrainer:
 
         if not use_smap:
             def fwd(params_m, bs_m, images):
-                images_m = jnp.broadcast_to(images,
-                                            (n_branch,) + images.shape)
+                images_m = (images if stacked_images else jnp.broadcast_to(
+                    images, (n_branch,) + images.shape))
 
                 def one(p, b, x):
                     return forward_heatmaps(model, p, b, x, train, dtype)
@@ -207,25 +211,25 @@ class BaseTrainer:
         local_n = n_branch // m_size
 
         def body(p_local, b_local, images):
-            def one(p, b):
-                return forward_heatmaps(model, p, b, images, train, dtype)
-
-            if local_n == 1:
+            if local_n == 1 and not stacked_images:
                 p = jax.tree_util.tree_map(lambda t: t[0], p_local)
                 b = jax.tree_util.tree_map(lambda t: t[0], b_local)
-                (preds, feats), new_b = one(p, b)
+                (preds, feats), new_b = forward_heatmaps(model, p, b, images,
+                                                         train, dtype)
                 expand = lambda t: t[None]
                 return (expand(preds), expand(feats),
                         jax.tree_util.tree_map(expand, new_b))
-            images_l = jnp.broadcast_to(images, (local_n,) + images.shape)
+            images_l = (images if stacked_images else jnp.broadcast_to(
+                images, (local_n,) + images.shape))
             (preds, feats), new_b = jax.vmap(
                 lambda p, b, x: forward_heatmaps(model, p, b, x, train,
                                                  dtype))(p_local, b_local,
                                                          images_l)
             return preds, feats, new_b
 
+        img_spec = P("model") if stacked_images else P()
         sm = shard_map(body, mesh=mesh,
-                       in_specs=(P("model"), P("model"), P()),
+                       in_specs=(P("model"), P("model"), img_spec),
                        out_specs=P("model"), check_vma=False,
                        axis_names={"model"})
 
@@ -554,6 +558,7 @@ class BaseTrainer:
             rep.add_row(**row)
         rep.to_csv(f"{base_path}/logs/report.csv", highlight_column="acc")
         rep.to_markdown(f"{base_path}/logs/report.md", highlight_column="acc")
+        rep.to_xlsx(f"{base_path}/logs/report.xlsx", highlight_column="acc")
 
     # --------------------------------------------------------------- helpers
     def sample_weights(self, islabeled, pseudo_weight):

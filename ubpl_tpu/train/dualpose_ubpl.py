@@ -54,7 +54,14 @@ class DualPoseUBPLTrainer(BaseTrainer):
         fdl_label = cfg.fdl_label
         use_fdl = cfg.fdl_weight_max > 0 or cfg.fdl_weight_min > 0
 
-        branch_fwd = self.make_branch_forward(model, dtype, train=True)
+        M = self.n_models
+        # fused path: [M students on the strong view; M teachers on the weak
+        # view] stacked as one 2M-network branch axis with per-branch images
+        fuse = bool(cfg.fuse_teacher_forward)
+        branch_fwd = self.make_branch_forward(
+            model, dtype, train=True, n_branch=2 * M if fuse else M,
+            stacked_images=fuse)
+        concat0 = lambda a, b: jnp.concatenate([a, b], axis=0)
 
         def fwd_stacked(params_m, bs_m, images, train=True):
             return branch_fwd(params_m, bs_m, images)
@@ -76,16 +83,34 @@ class DualPoseUBPLTrainer(BaseTrainer):
                             occluder_bank=self.occluder_bank,
                             use_occlusion=cfg.use_occlusion_ema)
 
-            ema_bs = state.ema_batch_stats
-            (outs_ema, _), ema_bs = fwd_stacked(state.ema_params, ema_bs,
-                                                ema.images, True)
-            outs_ema = jax.lax.stop_gradient(outs_ema)  # [M, B, S, H, W, K]
+            if not fuse:
+                ema_bs_pre = state.ema_batch_stats
+                (outs_ema_pre, _), ema_bs_pre = fwd_stacked(
+                    state.ema_params, ema_bs_pre, ema.images, True)
+                outs_ema_pre = jax.lax.stop_gradient(outs_ema_pre)
 
             def loss_fn(params):
-                (outs, feats), bs_state = fwd_stacked(params,
-                                                      state.batch_stats,
-                                                      stu.images, True)
-                M = self.n_models
+                if fuse:
+                    p4 = jax.tree_util.tree_map(concat0, params,
+                                                state.ema_params)
+                    b4 = jax.tree_util.tree_map(concat0, state.batch_stats,
+                                                state.ema_batch_stats)
+                    imgs4 = jnp.concatenate(
+                        [jnp.broadcast_to(stu.images,
+                                          (M,) + stu.images.shape),
+                         jnp.broadcast_to(ema.images,
+                                          (M,) + ema.images.shape)], axis=0)
+                    (pf, ff), new_b4 = fwd_stacked(p4, b4, imgs4, True)
+                    outs, feats = pf[:M], (ff[:M] if ff is not None else None)
+                    outs_ema = jax.lax.stop_gradient(pf[M:])
+                    bs_state = jax.tree_util.tree_map(lambda t: t[:M], new_b4)
+                    ema_bs = jax.tree_util.tree_map(
+                        lambda t: jax.lax.stop_gradient(t[M:]), new_b4)
+                else:
+                    (outs, feats), bs_state = fwd_stacked(params,
+                                                          state.batch_stats,
+                                                          stu.images, True)
+                    outs_ema, ema_bs = outs_ema_pre, ema_bs_pre
                 mtc_sum = jnp.zeros((M,))
                 mtc_count = jnp.zeros((M,))
                 pec_sum = jnp.zeros((M,))
@@ -140,7 +165,7 @@ class DualPoseUBPLTrainer(BaseTrainer):
                        "epc": epc, "epc_count": epc_count,
                        "fdc": fdc, "fdc_count": fdc_count,
                        "n_pseudo": n_pseudo, "n_sel": n_sel,
-                       "batch_stats": bs_state}
+                       "batch_stats": bs_state, "ema_batch_stats": ema_bs}
                 return total, aux
 
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -151,7 +176,7 @@ class DualPoseUBPLTrainer(BaseTrainer):
                 lambda e, p: ema_alpha * e + (1.0 - ema_alpha) * p,
                 state.ema_params, params)
             new_state = DualState(params, aux.pop("batch_stats"), ema_params,
-                                  ema_bs, new_opt)
+                                  aux.pop("ema_batch_stats"), new_opt)
             return new_state, aux
 
         self.compile_train_step(step)

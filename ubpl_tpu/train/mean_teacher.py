@@ -59,6 +59,13 @@ class MeanTeacherTrainer(BaseTrainer):
         base_key = jax.random.PRNGKey(cfg.seed)
         pose_weight = float(cfg.pose_weight)
 
+        # fused path: stack [student, teacher] as a 2-network branch axis so
+        # each view is ONE batched forward (teacher half stop_gradient'd)
+        fuse = bool(cfg.fuse_teacher_forward)
+        branch2 = (self.make_branch_forward(model, dtype, train=True,
+                                            n_branch=2) if fuse else None)
+        stack2 = lambda a, b: jnp.stack([a, b], axis=0)
+
         def step(state: MTState, idxs, step_num, cons_weight, ema_alpha):
             rng = jax.random.fold_in(base_key, step_num)
             imgs = self.constrain_batch(data.images[idxs])
@@ -70,27 +77,47 @@ class MeanTeacherTrainer(BaseTrainer):
                                occluder_bank=self.occluder_bank)
                      for a in range(self.n_views)]
 
-            # teacher forward (no grad; train-mode BN updates teacher stats,
-            # reference MT.py:231-234 under model_ema.train())
-            ema_bs = state.ema_batch_stats
-            outs_ema = []
-            for v in views:
-                (p_ema, _), ema_bs = forward_heatmaps(
-                    model, state.ema_params, ema_bs, v.images, True, dtype)
-                outs_ema.append(jax.lax.stop_gradient(p_ema))
+            if not fuse:
+                # teacher forward (no grad; train-mode BN updates teacher
+                # stats, reference MT.py:231-234 under model_ema.train())
+                ema_bs_pre = state.ema_batch_stats
+                outs_ema_pre = []
+                for v in views:
+                    (p_ema, _), ema_bs_pre = forward_heatmaps(
+                        model, state.ema_params, ema_bs_pre, v.images, True,
+                        dtype)
+                    outs_ema_pre.append(jax.lax.stop_gradient(p_ema))
 
             def loss_fn(params):
-                bs_state = state.batch_stats
                 mtc_sum, mtc_count = 0.0, 0.0
                 pec_sum, pec_count = 0.0, 0.0
+                if fuse:
+                    b2 = jax.tree_util.tree_map(stack2, state.batch_stats,
+                                                state.ema_batch_stats)
+                    p2 = jax.tree_util.tree_map(stack2, params,
+                                                state.ema_params)
+                else:
+                    bs_state = state.batch_stats
                 for a, v in enumerate(views):
-                    (preds, _), bs_state = forward_heatmaps(
-                        model, params, bs_state, v.images, True, dtype)
-                    s, n = L.joint_dist(preds[:, -1], outs_ema[a][:, -1])
+                    if fuse:
+                        (pf, _), b2 = branch2(p2, b2, v.images)
+                        preds = pf[0]
+                        out_ema = jax.lax.stop_gradient(pf[1])
+                    else:
+                        (preds, _), bs_state = forward_heatmaps(
+                            model, params, bs_state, v.images, True, dtype)
+                        out_ema = outs_ema_pre[a]
+                    s, n = L.joint_dist(preds[:, -1], out_ema[:, -1])
                     mtc_sum, mtc_count = mtc_sum + s, mtc_count + n
                     s, n = L.joint_mse(preds, v.heatmaps, v.gate, sw_pos,
                                        use_gate=True, use_sample_weight=True)
                     pec_sum, pec_count = pec_sum + s, pec_count + n
+                if fuse:
+                    bs_state = jax.tree_util.tree_map(lambda t: t[0], b2)
+                    ema_bs = jax.tree_util.tree_map(
+                        lambda t: jax.lax.stop_gradient(t[1]), b2)
+                else:
+                    ema_bs = ema_bs_pre
                 mtc = cons_weight * jnp.where(mtc_count > 0,
                                               mtc_sum / jnp.maximum(mtc_count, 1),
                                               mtc_sum)
@@ -99,7 +126,7 @@ class MeanTeacherTrainer(BaseTrainer):
                                               pec_sum)
                 aux = {"pec_loss": pec, "pec_count": pec_count,
                        "mtc_loss": mtc, "mtc_count": mtc_count,
-                       "batch_stats": bs_state}
+                       "batch_stats": bs_state, "ema_batch_stats": ema_bs}
                 return pec + mtc, aux
 
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -111,7 +138,7 @@ class MeanTeacherTrainer(BaseTrainer):
                 lambda e, p: ema_alpha * e + (1.0 - ema_alpha) * p,
                 state.ema_params, params)
             new_state = MTState(params, aux.pop("batch_stats"), ema_params,
-                                ema_bs, new_opt)
+                                aux.pop("ema_batch_stats"), new_opt)
             return new_state, aux
 
         self.compile_train_step(step)

@@ -50,3 +50,14 @@ class RunReport:
             with open(path, "w") as f:
                 f.write(text + "\n")
         return text
+
+    def to_xlsx(self, path, highlight_column=None):
+        """Reference xlsx artifact (CommUtils.xlsx_save): one sheet with the
+        best cell of `highlight_column` solid-filled."""
+        from .xlsx import write_xlsx
+        highlight = None
+        if highlight_column:
+            i = self.best_row_idx(highlight_column)
+            if i >= 0:
+                highlight = (i, self.columns.index(highlight_column))
+        write_xlsx(path, self.columns, self.rows, highlight=highlight)
