@@ -28,6 +28,7 @@ BENCH_STEPS = int(os.environ.get("UBPL_BENCH_STEPS", "20"))
 # per call (Config.scan_batches)
 BENCH_SCAN = int(os.environ.get("UBPL_BENCH_SCAN",
                                 "8" if BENCH_BS <= 8 else "1"))
+BENCH_FUSE = os.environ.get("UBPL_BENCH_FUSE", "1") == "1"
 
 
 def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS, scan=BENCH_SCAN):
@@ -43,7 +44,7 @@ def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS, scan=BENCH_SCAN):
                  valid_count=8, label_ratio=0.5,
                  train_bs=batch_size, train_bs_labeled=batch_size // 2,
                  infer_bs=8, epochs=1, compute_dtype="bfloat16",
-                 scan_batches=scan)
+                 scan_batches=scan, fuse_teacher_forward=BENCH_FUSE)
     cfg.pck_ref = (1, 2)
     cfg.pck_thr = 0.2
     trainer = MTUBPLTrainer(cfg)

@@ -36,7 +36,9 @@ def main():
         raise SystemExit(f"unknown regime {regime}")
     t0 = time.time()
     trainer = T(cfg)
-    history = trainer.run()
+    # base_path => per-epoch logData written as the run progresses, so a
+    # wall-clock-cut run is still harvestable
+    history = trainer.run(f"/tmp/ubpl_demo/{regime}")
     out = {
         "regime": regime, "epochs": epochs,
         "best_acc": trainer.best_acc, "best_epoch": trainer.best_epoch,

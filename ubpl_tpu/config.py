@@ -100,10 +100,14 @@ class Config:
                                         # views; reference computes them
                                         # per-view).  Measured neutral on
                                         # v5e at bs=32 (128 vs 133 img/s)
-    fuse_teacher_forward: bool = True   # stack students+teachers as one
-                                        # 2M-network branch axis: one batched
-                                        # forward per view instead of
-                                        # separate student/teacher dispatches
+    fuse_teacher_forward: bool = False  # stack students+teachers as one
+                                        # 2M-network branch axis (one batched
+                                        # forward per view).  Semantically
+                                        # equivalent (tests/test_step_exec)
+                                        # but measured SLOWER on v5e: the
+                                        # 4-group grouped convs run ~40%
+                                        # under the 2-group ones (78 vs 133
+                                        # img/s at bs=32) — default off.
     scan_batches: int = 1               # >1: lax.scan k train batches per
                                         # device call (amortizes dispatch for
                                         # the reference's small bs=4 steps)
