@@ -1,0 +1,93 @@
+"""Harvest round-2 artifacts from the running/finished background runs:
+
+- PARITY_ref_mt_ubpl.json    from /tmp/ref_expr/*MT_UBPL*/logs/logData
+  (reference torch-CPU run via ref_run.py; full-valid epochs only)
+- PARITY_ours_mt_ubpl.json   from /tmp/ubpl_parity/mt_ubpl/logs/logData
+  (works for wall-clock-cut runs; parity_run.py writes the same thing at
+  completion)
+- TRAIN_DEMO_dualpose_ubpl_r02.json from /tmp/ubpl_demo/dualpose_ubpl
+
+Safe to run repeatedly.
+"""
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _epochs(log_dir):
+    out = {}
+    for p in glob.glob(os.path.join(log_dir, "logData_*.json")):
+        e = int(os.path.basename(p).split("_")[1].split(".")[0])
+        with open(p) as f:
+            out[e] = json.load(f)
+    return out
+
+
+def harvest_ref_mt_ubpl():
+    dirs = sorted(glob.glob("/tmp/ref_expr/*MT_UBPL*"))
+    if not dirs:
+        return
+    exp = dirs[-1]
+    per = {}
+    for e, d in sorted(_epochs(os.path.join(exp, "logs", "logData")).items()):
+        accs = d["accsArraies"][-1]      # ensemble-mean head
+        entry = {"pec_losses": d["pec_losses"], "mtc_losses": d["mtc_losses"],
+                 "epc_losses": d["epc_losses"], "fdc_loss": d["fdc_loss"]}
+        if accs[-1] > 0:                 # full-valid epoch (others zeroed)
+            entry["pck_mean"] = accs[-1]
+            entry["err_mean"] = d["errsArraies"][-1][-1]
+            entry["pck_per_joint"] = accs[:-1]
+        per[str(e)] = entry
+    out = {"regime": "mt_ubpl", "split": "Mouse_100_500_0.3", "valid_n": 500,
+           "source": "reference run via tools/ref_run.py (torch CPU, full "
+                     "500-image validation every 5 epochs; epochs bounded by "
+                     "wall clock on this 1-core host — see TODO.md)",
+           "experiment": os.path.basename(exp), "per_epoch": per}
+    with open(os.path.join(REPO, "PARITY_ref_mt_ubpl.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    full = sorted(int(e) for e, v in per.items() if "pck_mean" in v)
+    print("ref mt_ubpl: epochs", len(per), "full-valid", full)
+
+
+def harvest_ours_mt_ubpl():
+    log_dir = "/tmp/ubpl_parity/mt_ubpl/logs/logData"
+    if not os.path.isdir(log_dir):
+        return
+    per = {}
+    for e, d in sorted(_epochs(log_dir).items()):
+        per[str(e)] = {k: v for k, v in d.items()
+                       if k not in ("accs", "errs")}
+        per[str(e)]["pck_mean"] = d["accs"][-1][-1]
+        per[str(e)]["err_mean"] = d["errs"][-1][-1]
+        per[str(e)]["pck_per_joint"] = d["accs"][-1][:-1]
+    out = {"regime": "mt_ubpl", "epochs": len(per),
+           "split": "Mouse_100_500_0.3", "valid_n": 500, "per_epoch": per}
+    with open(os.path.join(REPO, "PARITY_ours_mt_ubpl.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("ours mt_ubpl: epochs", len(per),
+          "final pck", per[str(max(map(int, per)))]["pck_mean"])
+
+
+def harvest_demo(regime):
+    log_dir = f"/tmp/ubpl_demo/{regime}/logs/logData"
+    if not os.path.isdir(log_dir):
+        return
+    eps = _epochs(log_dir)
+    curve = [eps[e]["accs"][-1][-1] for e in sorted(eps)]
+    best = max(curve) if curve else -1
+    out = {"regime": regime, "epochs": len(eps),
+           "best_acc": best, "best_epoch": curve.index(best) + 1,
+           "final_accs": eps[max(eps)]["accs"] if eps else None,
+           "acc_curve": curve}
+    with open(os.path.join(REPO, f"TRAIN_DEMO_{regime}_r02.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"demo {regime}: {len(eps)} epochs, best {best}")
+
+
+if __name__ == "__main__":
+    harvest_ref_mt_ubpl()
+    harvest_ours_mt_ubpl()
+    harvest_demo("dualpose_ubpl")
+    harvest_demo("mt")

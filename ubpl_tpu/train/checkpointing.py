@@ -8,12 +8,25 @@ actually resuming (params, EMA, optimizer state, epoch, counters).
 """
 import os
 import shutil
+import warnings
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
 _CKPT_DIR = "ckpts"
+# one checkpointer per process: per-save instances can leave background
+# finalize threads racing on the shared "<target>.orbax-checkpoint-tmp"
+# path when epochs are shorter than a slow host's write (observed on the
+# 1-core bench host: NOT_FOUND from write_metadata_after_commits)
+_CKPTR = None
+
+
+def _checkpointer():
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.PyTreeCheckpointer()
+    return _CKPTR
 
 
 def _paths(base_path):
@@ -22,19 +35,30 @@ def _paths(base_path):
 
 
 def save_checkpoint(base_path, epoch, state, is_best=False, extra=None):
-    """Write the full state pytree each epoch; mirror to `best` when asked."""
+    """Write the full state pytree each epoch; mirror to `best` when asked.
+
+    A failed write must never abort training (the reference's torch.save has
+    the same fire-and-forget posture): IO errors are logged and the previous
+    intact checkpoint stays in place.
+    """
     latest, best = _paths(base_path)
     payload = {
         "state": jax.tree_util.tree_map(np.asarray, _as_dict(state)),
         "meta": {"current_epoch": epoch, **(extra or {})},
     }
-    ckptr = ocp.PyTreeCheckpointer()
+    ckptr = _checkpointer()
     for target, write in ((latest, True), (best, is_best)):
         if not write:
             continue
-        if os.path.exists(target):
-            shutil.rmtree(target)
-        ckptr.save(target, payload)
+        try:
+            if os.path.exists(target):
+                shutil.rmtree(target)
+            ckptr.save(target, payload)
+        except Exception as e:  # noqa: BLE001 — keep training alive
+            warnings.warn(f"checkpoint save to {target} failed "
+                          f"(epoch {epoch + 1}): {e}")
+            shutil.rmtree(f"{target}.orbax-checkpoint-tmp",
+                          ignore_errors=True)
 
 
 def restore_checkpoint(base_path, state=None, best=False):
