@@ -28,7 +28,9 @@ BENCH_STEPS = int(os.environ.get("UBPL_BENCH_STEPS", "20"))
 # per call (Config.scan_batches)
 BENCH_SCAN = int(os.environ.get("UBPL_BENCH_SCAN",
                                 "8" if BENCH_BS <= 8 else "1"))
-BENCH_FUSE = os.environ.get("UBPL_BENCH_FUSE", "1") == "1"
+# default follows Config.fuse_teacher_forward (off: measured 40% slower on
+# v5e — docs/PERF.md round-2 A/B); set UBPL_BENCH_FUSE=1 to re-measure
+BENCH_FUSE = os.environ.get("UBPL_BENCH_FUSE", "0") == "1"
 
 
 def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS, scan=BENCH_SCAN):

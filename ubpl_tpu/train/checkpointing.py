@@ -15,10 +15,11 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 _CKPT_DIR = "ckpts"
-# one checkpointer per process: per-save instances can leave background
-# finalize threads racing on the shared "<target>.orbax-checkpoint-tmp"
-# path when epochs are shorter than a slow host's write (observed on the
-# 1-core bench host: NOT_FOUND from write_metadata_after_commits)
+# one checkpointer per process.  Note the save path is also guarded below:
+# writers racing on the shared "<target>.orbax-checkpoint-tmp" path (e.g.
+# two runs accidentally pointed at the same base_path — observed here as
+# NOT_FOUND from write_metadata_after_commits) must degrade to a warning,
+# never kill training.
 _CKPTR = None
 
 
