@@ -20,7 +20,10 @@ class Config:
     feature_mode: str = "AvgPool"       # default | MaxPool | AvgPool | ConvOne
     br_num: int = 2                     # ensemble branches (MT_UBPL/DualPose)
     br_aug_num: int = 1                 # augmented views per branch
-    br_gt_num: int = 1                  # ground-truth sets per view
+    br_gt_num: int = 1                  # ground-truth sets per view; accepted
+                                        # for reference flag parity (its
+                                        # gtCount>1 path is never exercised
+                                        # by any reference trainer either)
 
     # Dataset
     data_source: str = "Mouse"          # Mouse | FLIC | LSP | AP10K | FLY | Pranav
@@ -37,7 +40,10 @@ class Config:
     infer_bs: int = 128
     lr: float = 2.5e-4
     wd: float = 0.0
-    power: float = 0.9
+    power: float = 0.9                  # reference --power (lr-decay power);
+                                        # the reference parses but never
+                                        # consumes it — kept so reference
+                                        # param dicts round-trip
 
     # Augmentation
     use_flip: bool = True
