@@ -39,6 +39,59 @@ def test_resume_roundtrip(tmp_path):
     t2.run(base_path=run_dir, resume=True)
 
 
+def test_failed_save_preserves_previous_checkpoint(tmp_path, monkeypatch):
+    """A failed checkpoint write must leave the previous epoch's checkpoint
+    intact (staged-write ordering) and no stale tmp/staging dirs behind."""
+    import glob
+    from ubpl_tpu.train import checkpointing as ck
+    state = {"w": np.arange(4.0)}
+    base = str(tmp_path / "run")
+    ck.save_checkpoint(base, 0, state)
+
+    class Boom:
+        def save(self, *a, **k):
+            raise IOError("disk full")
+
+    monkeypatch.setattr(ck, "_CKPTR", Boom())
+    with pytest.warns(UserWarning, match="checkpoint save"):
+        ck.save_checkpoint(base, 1, {"w": np.zeros(4)})
+    monkeypatch.setattr(ck, "_CKPTR", None)
+
+    restored, meta = ck.restore_checkpoint(base)
+    assert int(meta["current_epoch"]) == 0
+    np.testing.assert_allclose(np.asarray(restored["w"]), np.arange(4.0))
+    leftovers = (glob.glob(str(tmp_path / "run" / "ckpts" / "*.new"))
+                 + glob.glob(str(tmp_path / "run" / "ckpts" / "*.old"))
+                 + glob.glob(str(tmp_path / "run" / "ckpts"
+                                 / "*orbax-checkpoint-tmp*")))
+    assert leftovers == []
+
+
+def test_resume_restores_pseudo_state(tmp_path):
+    """Resume with cfg.pseudo_rounds>0 must restore the round budget and the
+    injected pseudo kps/islabeled arrays, not silently reset them (ADVICE
+    r2): an interrupted run continues on the same dataset."""
+    from ubpl_tpu.train.mt_ubpl import MTUBPLTrainer
+    ps = dict(pseudo_rounds=1, pseudo_interval=1, pseudo_aug_views=1)
+    run_dir = str(tmp_path / "run_ps")
+    t1 = MTUBPLTrainer(_cfg(tmp_path, **ps))
+    t1.run(base_path=run_dir)
+    assert t1._pseudo_rounds_done == 1
+    kps1 = np.asarray(t1.train_data.kps)
+    isl1 = np.asarray(t1.train_data.islabeled)
+    assert isl1.sum() > np.asarray(t1.labeled_idxs).size - 1  # round applied
+
+    t2 = MTUBPLTrainer(_cfg(tmp_path, epochs=3, **ps))
+    start = t2.resume(run_dir)
+    assert start == 2
+    assert t2._pseudo_rounds_done == 1       # round budget not reset
+    np.testing.assert_allclose(np.asarray(t2.train_data.kps), kps1)
+    np.testing.assert_allclose(np.asarray(t2.train_data.islabeled), isl1)
+    # continuing must not spend another round (budget already exhausted)
+    t2.run(base_path=run_dir, resume=True)
+    assert t2._pseudo_rounds_done == 1
+
+
 def test_pose_estimator_from_checkpoint(tmp_path):
     from ubpl_tpu.train.supervised import SupervisedTrainer
     from ubpl_tpu.infer import PoseEstimator

@@ -97,6 +97,20 @@ def test_build_mesh_from_config():
     assert cfg3.mesh_shape == (2, 4) and cfg3.mesh_axes == ("model", "data")
 
 
+def test_build_mesh_auto_shrinks_to_batch():
+    """Auto mesh mode must not break reference-parity small-batch configs
+    (e.g. trainBS=4 on an 8-chip host, ADVICE r2): the data axis falls back
+    to the largest device count dividing the global batch."""
+    from ubpl_tpu.parallel import build_mesh
+    assert dict(build_mesh(_cfg(train_bs=4)).shape) == {"data": 4}
+    assert dict(build_mesh(_cfg(train_bs=6)).shape) == {"data": 6}
+    assert build_mesh(_cfg(train_bs=1)) is None
+    # an explicit mesh_shape always wins over the auto fallback
+    cfg = _cfg(train_bs=4)
+    cfg.mesh_shape, cfg.mesh_axes = (8,), ("data",)
+    assert dict(build_mesh(cfg).shape) == {"data": 8}
+
+
 def test_dataset_sharded_over_data_axis():
     """The HBM-resident dataset is sharded over 'data' (not replicated):
     sample axis padded to the axis size, per-shard bytes = 1/d of the total,

@@ -92,3 +92,21 @@ def test_run_report_xlsx(tmp_path):
             xml.dom.minidom.parseString(z.read(n))
     sheet = z.read("xl/worksheets/sheet1.xml").decode()
     assert "<v>0.42</v>" in sheet and 's="2"' in sheet
+
+
+def test_xlsx_nonfinite_cells(tmp_path):
+    """NaN/inf metrics (e.g. zero-count validation averages) must emit as
+    inline strings — <v>nan</v> is invalid OOXML (ADVICE r2)."""
+    import zipfile
+    import xml.dom.minidom
+    from ubpl_tpu.utils.report import RunReport
+    rep = RunReport(["epoch", "loss", "acc"])
+    rep.add_row(epoch=1, loss=float("nan"), acc=float("inf"))
+    rep.add_row(epoch=2, loss=0.3, acc=0.42)
+    path = str(tmp_path / "r.xlsx")
+    rep.to_xlsx(path, highlight_column="epoch")
+    z = zipfile.ZipFile(path)
+    sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    xml.dom.minidom.parseString(sheet)
+    assert "<v>nan</v>" not in sheet and "<v>inf</v>" not in sheet
+    assert "<t>nan</t>" in sheet and "<t>inf</t>" in sheet

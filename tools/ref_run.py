@@ -157,10 +157,60 @@ def main():
         from projects import MT_UBPL as mod
         k_plus1 = 10
 
+        # Optional cross-round resume: REF_RESUME=<checkpoint.pth.tar>.
+        # The reference has no resume path (start_epoch pinned 0,
+        # projects/MT_UBPL.py:31; the epoch loop ranges over range(epochs)),
+        # so we emulate one outside the reference code: epochs before the
+        # checkpoint's current_epoch+1 are skipped (train/validate no-ops,
+        # models untouched), then the checkpointed model/EMA/optimizer states
+        # and best-acc trackers are loaded and training continues.  The
+        # epoch-indexed ramps/EMA alpha are pure functions of epo, so they
+        # pick up exactly where the prior run left off; only the host
+        # augmentation RNG stream differs from an uninterrupted run (it is
+        # stochastic augmentation noise either way).
+        resume_path = os.environ.get("REF_RESUME")
+        resume_from = 0
+        resume_ck = None
+        if resume_path:
+            resume_ck = torch.load(resume_path, map_location="cpu",
+                                   weights_only=False)
+            resume_from = resume_ck["current_epoch"] + 1
+            print(f"[ref_run] will resume at epoch {resume_from} "
+                  f"from {resume_path}", flush=True)
+
+        orig_train = mod.train
+        _resume_state = {"loaded": resume_ck is None}
+
+        def train(trainLoader, models, models_ema, optims, args):
+            epo = getattr(args, "epo", 0)
+            if not _resume_state["loaded"]:
+                if epo < resume_from:
+                    n = len(models)
+                    return [0.0] * n, [0.0] * n, [0.0] * n, 0.0
+                for b in range(len(models)):
+                    models[b].load_state_dict(
+                        resume_ck[f"model{b + 1}_state"])
+                    models_ema[b].load_state_dict(
+                        resume_ck[f"model{b + 1}_ema_state"])
+                    optims[b].load_state_dict(
+                        resume_ck[f"optim{b + 1}_state"])
+                args.best_acc = list(resume_ck["best_acc"])
+                args.best_epoch = list(resume_ck["best_epoch"])
+                _resume_state["loaded"] = True
+                print(f"[ref_run] resumed states at epoch {epo}", flush=True)
+            return orig_train(trainLoader, models, models_ema, optims, args)
+
+        mod.train = train
+
         orig_validate = mod.validate
 
         def validate(validLoader, models_ema, args):
             epo = getattr(args, "epo", 0)
+            if epo < resume_from:
+                n = len(models_ema) + 1
+                return ([[] for _ in range(n)],
+                        [[0.0] * k_plus1 for _ in range(n)],
+                        [[0.0] * k_plus1 for _ in range(n)])
             if (epo + 1) % eval_every == 0 or epo + 1 == args.epochs:
                 t0 = time.time()
                 out = orig_validate(validLoader, models_ema, args)

@@ -52,7 +52,17 @@ def build_mesh(cfg, devices=None) -> Optional[Mesh]:
     if cfg.mesh_shape is None:
         if len(devices) <= 1:
             return None
-        return make_mesh((len(devices),), ("data",), devices)
+        # auto mode must not break reference-parity small-batch configs
+        # (e.g. trainBS=4 on an 8-chip host): use the largest data axis that
+        # divides the global batch.  An explicit mesh_shape always wins.
+        n = len(devices)
+        bs = int(getattr(cfg, "train_bs", 0) or 0)
+        if bs > 0:
+            while n > 1 and bs % n != 0:
+                n -= 1
+        if n <= 1:
+            return None
+        return make_mesh((n,), ("data",), devices[:n])
     shape = parse_axis_spec(cfg.mesh_shape, int)
     axes = parse_axis_spec(cfg.mesh_axes, str)
     need = int(np.prod(shape))

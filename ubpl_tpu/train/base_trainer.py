@@ -189,6 +189,32 @@ class BaseTrainer:
         use_smap = mesh is not None and "model" in mesh.axis_names
 
         if not use_smap:
+            if self.cfg.unroll_branches:
+                # Unrolled: one plain (ungrouped) conv program per branch.
+                # vmap over stacked params lowers every conv to an M-group
+                # grouped convolution, which the TPU conv codegen runs below
+                # the plain one (the 4-group fuse_teacher_forward variant
+                # measured 40% slower, docs/PERF.md); unrolling trades a
+                # bigger program for full-rate convs.
+                def fwd(params_m, bs_m, images):
+                    outs, bss = [], []
+                    for m in range(n_branch):
+                        take = lambda t: t[m]
+                        out, new_bs = forward_heatmaps(
+                            model, jax.tree_util.tree_map(take, params_m),
+                            jax.tree_util.tree_map(take, bs_m),
+                            images[m] if stacked_images else images,
+                            train, dtype)
+                        outs.append(out)
+                        bss.append(new_bs)
+                    preds = jnp.stack([o[0] for o in outs])
+                    feats = (jnp.stack([o[1] for o in outs])
+                             if outs[0][1] is not None else None)
+                    new_bs_m = jax.tree_util.tree_map(
+                        lambda *ts: jnp.stack(ts), *bss)
+                    return (preds, feats), new_bs_m
+                return fwd
+
             def fwd(params_m, bs_m, images):
                 images_m = (images if stacked_images else jnp.broadcast_to(
                     images, (n_branch,) + images.shape))
@@ -247,8 +273,10 @@ class BaseTrainer:
         if x.shape[0] % d != 0:
             raise ValueError(
                 f"global batch {x.shape[0]} is not divisible by the 'data' "
-                f"mesh axis ({d}); set train_bs to a multiple of it (or "
-                "shrink mesh_shape)")
+                f"mesh axis ({d}); set train_bs to a multiple of it, shrink "
+                "the mesh (e.g. --mesh_shape=1 runs single-device, matching "
+                "the reference's small-batch configs), or see "
+                "docs/MIGRATION.md §meshes")
         from jax.sharding import NamedSharding, PartitionSpec as P
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(self.mesh, P("data", *([None] * (x.ndim - 1)))))
@@ -427,7 +455,64 @@ class BaseTrainer:
         be = meta.get("best_epoch", self.best_epoch)
         self.best_acc = list(np.atleast_1d(ba))
         self.best_epoch = [int(e) for e in np.atleast_1d(be)]
+        self._restore_pseudo_state(meta)
         return int(meta["current_epoch"]) + 1
+
+    def _ensure_pseudo_loop(self):
+        """Construct the PseudoLabelingLoop lazily.  Must run while
+        train_data is pristine (the loop snapshots the pre-injection
+        kps/islabeled arrays as its reset baseline)."""
+        if self._pseudo_loop is None:
+            from .pseudo_loop import PseudoLabelingLoop
+            cfg = self.cfg
+            self._pseudo_loop = PseudoLabelingLoop(
+                self, aug_views=cfg.pseudo_aug_views,
+                reliable_pct=cfg.pseudo_reliable_pct,
+                batch_size=cfg.infer_bs)
+        return self._pseudo_loop
+
+    def _pseudo_checkpoint_meta(self):
+        """Pseudo-round state for the checkpoint: rounds spent, the injected
+        train arrays, and the LMA distance histories, so a resumed run
+        continues from the same dataset and round budget as an uninterrupted
+        one (rather than silently resetting both)."""
+        if self._pseudo_rounds_done == 0:
+            return {}
+        meta = {"pseudo_rounds_done": self._pseudo_rounds_done,
+                "pseudo_kps": np.asarray(self.train_data.kps),
+                "pseudo_islabeled": np.asarray(self.train_data.islabeled)}
+        loop = self._pseudo_loop
+        if loop is not None and loop.lma_ext is not None:
+            meta["pseudo_lma"] = np.stack(
+                [loop.lma_int[0].history, loop.lma_int[1].history,
+                 loop.lma_ext.history])
+        return meta
+
+    def _restore_pseudo_state(self, meta):
+        rounds = meta.get("pseudo_rounds_done")
+        if not rounds or not self.supports_pseudo_loop:
+            return
+        # build the loop first: its reset baseline must be the PRISTINE
+        # arrays, and train_data is still pristine at resume time
+        loop = self._ensure_pseudo_loop()
+        self._pseudo_rounds_done = int(rounds)
+        self.train_data = self.train_data._replace(
+            kps=jax.device_put(np.asarray(meta["pseudo_kps"]),
+                               self.train_data.kps.sharding),
+            islabeled=jax.device_put(np.asarray(meta["pseudo_islabeled"]),
+                                     self.train_data.islabeled.sharding))
+        self._build_steps()
+        lma = meta.get("pseudo_lma")
+        if lma is not None and loop.lma_ext is not None:
+            lma = np.asarray(lma)
+            loop.lma_int[0].history = lma[0]
+            loop.lma_int[1].history = lma[1]
+            loop.lma_ext.history = lma[2]
+        self.logger.print(
+            "L2", "resumed pseudo-round state: {} round(s) spent, "
+            "{} sample(s) in the labeled pool".format(
+                self._pseudo_rounds_done,
+                int(np.asarray(self.train_data.islabeled).sum())))
 
     def maybe_pseudo_round(self, epo, base_path=None):
         """cfg.pseudo_rounds > 0: run one UBPL selection round every
@@ -443,12 +528,7 @@ class BaseTrainer:
             return None
         if not self.unlabeled_idxs:
             return None
-        from .pseudo_loop import PseudoLabelingLoop
-        if self._pseudo_loop is None:
-            self._pseudo_loop = PseudoLabelingLoop(
-                self, aug_views=cfg.pseudo_aug_views,
-                reliable_pct=cfg.pseudo_reliable_pct,
-                batch_size=cfg.infer_bs)
+        self._ensure_pseudo_loop()
         sel, ens = self._pseudo_loop.round(
             jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 7919 + epo))
         self._pseudo_rounds_done += 1
@@ -512,7 +592,8 @@ class BaseTrainer:
                 from .checkpointing import save_checkpoint
                 save_checkpoint(base_path, epo, self.state, is_best[-1],
                                 extra={"best_acc": self.best_acc,
-                                       "best_epoch": self.best_epoch})
+                                       "best_epoch": self.best_epoch,
+                                       **self._pseudo_checkpoint_meta()})
                 if epo == start_epoch:
                     cfg.to_json(f"{base_path}/logs/args.json")
                 json_save({**losses, "accs": accs, "errs": errs},

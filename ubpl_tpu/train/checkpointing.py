@@ -6,6 +6,7 @@ best snapshot (utils/base/comm.py:91-103) but never wires resume
 pytree plus metadata, `latest`/`best` retention, and `restore_checkpoint`
 actually resuming (params, EMA, optimizer state, epoch, counters).
 """
+import glob
 import os
 import shutil
 import warnings
@@ -51,15 +52,28 @@ def save_checkpoint(base_path, epoch, state, is_best=False, extra=None):
     for target, write in ((latest, True), (best, is_best)):
         if not write:
             continue
+        # Crash-safe ordering: write to a sibling staging dir first and only
+        # replace the previous checkpoint after the save has fully committed,
+        # so a failed write always leaves the prior intact checkpoint in
+        # place.  (orbax itself also stages to
+        # "<dir>.orbax-checkpoint-tmp-<ts>" before renaming.)
+        staged = f"{target}.new"
         try:
+            shutil.rmtree(staged, ignore_errors=True)
+            ckptr.save(staged, payload)
+            retired = f"{target}.old"
+            shutil.rmtree(retired, ignore_errors=True)
             if os.path.exists(target):
-                shutil.rmtree(target)
-            ckptr.save(target, payload)
+                os.rename(target, retired)
+            os.rename(staged, target)
+            shutil.rmtree(retired, ignore_errors=True)
         except Exception as e:  # noqa: BLE001 — keep training alive
             warnings.warn(f"checkpoint save to {target} failed "
                           f"(epoch {epoch + 1}): {e}")
-            shutil.rmtree(f"{target}.orbax-checkpoint-tmp",
-                          ignore_errors=True)
+            for stale in (glob.glob(f"{target}.orbax-checkpoint-tmp*")
+                          + glob.glob(f"{staged}.orbax-checkpoint-tmp*")
+                          + [staged]):
+                shutil.rmtree(stale, ignore_errors=True)
 
 
 def restore_checkpoint(base_path, state=None, best=False):

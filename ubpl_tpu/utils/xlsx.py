@@ -6,6 +6,7 @@ Scope matches the reference artifact: one sheet of rows, with the best cell
 of a chosen column highlighted (solid fill), which is what its conditional
 formatting rendered.  Readable by Excel/LibreOffice/openpyxl.
 """
+import math
 import os
 import zipfile
 from xml.sax.saxutils import escape
@@ -63,7 +64,8 @@ def _cell(r, c, value, style=0):
     s = f' s="{style}"' if style else ""
     if isinstance(value, bool):
         value = int(value)
-    if isinstance(value, (int, float)):
+    # NaN/inf are invalid OOXML numerics — emit them as strings instead
+    if isinstance(value, (int, float)) and math.isfinite(value):
         return f'<c r="{ref}"{s}><v>{value}</v></c>'
     return (f'<c r="{ref}" t="inlineStr"{s}>'
             f'<is><t>{escape(str(value))}</t></is></c>')
