@@ -32,6 +32,7 @@ BENCH_SCAN = int(os.environ.get("UBPL_BENCH_SCAN",
 # v5e — docs/PERF.md round-2 A/B); set UBPL_BENCH_FUSE=1 to re-measure
 BENCH_FUSE = os.environ.get("UBPL_BENCH_FUSE", "0") == "1"
 BENCH_FOLD = os.environ.get("UBPL_BENCH_FOLD", "0") == "1"
+BENCH_UNROLL = os.environ.get("UBPL_BENCH_UNROLL", "0") == "1"
 
 
 def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS, scan=BENCH_SCAN):
@@ -48,7 +49,7 @@ def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS, scan=BENCH_SCAN):
                  train_bs=batch_size, train_bs_labeled=batch_size // 2,
                  infer_bs=8, epochs=1, compute_dtype="bfloat16",
                  scan_batches=scan, fuse_teacher_forward=BENCH_FUSE,
-                 fold_views=BENCH_FOLD)
+                 fold_views=BENCH_FOLD, unroll_branches=BENCH_UNROLL)
     cfg.pck_ref = (1, 2)
     cfg.pck_thr = 0.2
     trainer = MTUBPLTrainer(cfg)

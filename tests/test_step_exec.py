@@ -55,6 +55,31 @@ def test_fused_teacher_forward_equivalence():
                                rtol=1e-5, atol=1e-7)
 
 
+def test_unroll_branches_equivalence():
+    """One step from identical state: the unrolled per-branch plain-conv
+    programs compute the same losses/updates as the vmapped (grouped-conv)
+    branch ensemble.  Tolerances are program-level: plain and grouped convs
+    reduce in different orders (measured ~4e-5 relative on the losses), and
+    Adam's bias-corrected first step is ~±lr wherever that noise flips the
+    sign of a near-zero gradient — so params get atol ≈ 2·lr."""
+    t_unroll = MTUBPLTrainer(_cfg(unroll_branches=True))
+    t_plain = MTUBPLTrainer(_cfg(unroll_branches=False))
+    sched = t_unroll.epoch_schedules(0)
+    args = (sched["cons_weight"], sched["fdl_weight"],
+            sched["pseudo_weight"], sched["ema_alpha"])
+    idxs = jnp.asarray(next(iter(t_unroll.make_sampler())))
+    s1, m1 = t_unroll.train_step(t_unroll.state, idxs, 1, *args)
+    s2, m2 = t_plain.train_step(t_plain.state, idxs, 1, *args)
+    for k in ("pec", "mtc", "epc", "fdc"):
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
+                                   rtol=1e-3, atol=1e-6, err_msg=k)
+    lr = t_plain.cfg.lr
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p2 = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=1e-4, atol=2.1 * lr)
+
+
 def test_scan_batches_equivalence_mt_ubpl():
     """One k=3 scan chunk vs the same 3 plain steps.  Step 1 must match to
     float noise (proves batch order / RNG fold / step numbering align);

@@ -117,6 +117,11 @@ class Config:
     scan_batches: int = 1               # >1: lax.scan k train batches per
                                         # device call (amortizes dispatch for
                                         # the reference's small bs=4 steps)
+    unroll_branches: bool = False       # forward the branch ensemble as one
+                                        # plain conv program per branch
+                                        # instead of one vmap (grouped-conv)
+                                        # program over stacked params; see
+                                        # make_branch_forward + docs/PERF.md
     # NOTE on BatchNorm under data parallelism: batches are sharded over the
     # 'data' mesh axis with GSPMD, so BN statistics are computed over the
     # GLOBAL logical batch by construction — identical math to single-device
