@@ -32,7 +32,9 @@ BENCH_SCAN = int(os.environ.get("UBPL_BENCH_SCAN",
 # v5e — docs/PERF.md round-2 A/B); set UBPL_BENCH_FUSE=1 to re-measure
 BENCH_FUSE = os.environ.get("UBPL_BENCH_FUSE", "0") == "1"
 BENCH_FOLD = os.environ.get("UBPL_BENCH_FOLD", "0") == "1"
-BENCH_UNROLL = os.environ.get("UBPL_BENCH_UNROLL", "0") == "1"
+# unset = Config auto (unroll at bs>=16); "1"/"0" force on/off for A/B
+_unroll_env = os.environ.get("UBPL_BENCH_UNROLL")
+BENCH_UNROLL = None if _unroll_env is None else _unroll_env == "1"
 
 
 def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS, scan=BENCH_SCAN):

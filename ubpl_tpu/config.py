@@ -117,10 +117,15 @@ class Config:
     scan_batches: int = 1               # >1: lax.scan k train batches per
                                         # device call (amortizes dispatch for
                                         # the reference's small bs=4 steps)
-    unroll_branches: bool = False       # forward the branch ensemble as one
+    unroll_branches: Optional[bool] = None
+                                        # forward the branch ensemble as one
                                         # plain conv program per branch
                                         # instead of one vmap (grouped-conv)
-                                        # program over stacked params; see
+                                        # program over stacked params.  None
+                                        # = auto: unroll when train_bs >= 16
+                                        # (measured +4% at bs=32; the grouped
+                                        # conv is FASTER at bs=4 where it
+                                        # feeds the MXU a 2x batch) — see
                                         # make_branch_forward + docs/PERF.md
     # NOTE on BatchNorm under data parallelism: batches are sharded over the
     # 'data' mesh axis with GSPMD, so BN statistics are computed over the

@@ -189,7 +189,10 @@ class BaseTrainer:
         use_smap = mesh is not None and "model" in mesh.axis_names
 
         if not use_smap:
-            if self.cfg.unroll_branches:
+            unroll = self.cfg.unroll_branches
+            if unroll is None:          # auto: see Config.unroll_branches
+                unroll = self.cfg.train_bs >= 16
+            if unroll:
                 # Unrolled: one plain (ungrouped) conv program per branch.
                 # vmap over stacked params lowers every conv to an M-group
                 # grouped convolution, which the TPU conv codegen runs below
