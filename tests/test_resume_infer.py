@@ -92,6 +92,34 @@ def test_resume_restores_pseudo_state(tmp_path):
     assert t2._pseudo_rounds_done == 1
 
 
+def test_pose_estimator_pipelined_chunks():
+    """Multi-chunk predict (double-buffered transfers) must give the same
+    per-image results as one big batch: eval-mode BN makes inference
+    per-image deterministic regardless of batching/padding."""
+    import jax.numpy as jnp
+    from ubpl_tpu.infer import PoseEstimator
+    from ubpl_tpu.models import create_pose_model, init_model
+    cfg = Config(model="HG2", kps_count=5, inp_res=64, out_res=16,
+                 compute_dtype="float32")
+    m = create_pose_model("HG2", 5, cfg.feature_mode, dtype=None)
+    sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params, batch_stats = init_model(m, jax.random.PRNGKey(0), sample)
+    imgs = np.random.default_rng(0).integers(
+        0, 256, (10, 64, 64, 3), dtype=np.uint8)
+    est_chunked = PoseEstimator(m, params, batch_stats, (0.4, 0.4, 0.4),
+                                cfg, batch_size=4)   # 3 chunks, last padded
+    est_single = PoseEstimator(m, params, batch_stats, (0.4, 0.4, 0.4),
+                               cfg, batch_size=16)   # 1 padded chunk
+    k1, s1 = est_chunked.predict(imgs)
+    k2, s2 = est_single.predict(imgs)
+    assert k1.shape == (10, 5, 2) and s1.shape == (10, 5)
+    np.testing.assert_allclose(k1, k2, atol=1e-4)
+    np.testing.assert_allclose(s1, s2, atol=1e-4)
+    # empty request is well-formed
+    k0, s0 = est_chunked.predict(np.zeros((0, 64, 64, 3), np.uint8))
+    assert k0.shape == (0, 5, 2) and s0.shape == (0, 5)
+
+
 def test_pose_estimator_from_checkpoint(tmp_path):
     from ubpl_tpu.train.supervised import SupervisedTrainer
     from ubpl_tpu.infer import PoseEstimator

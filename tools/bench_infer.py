@@ -35,14 +35,16 @@ def measure(batch_size, model="HG3", steps=STEPS):
     est = PoseEstimator(m, params, batch_stats, (0.45, 0.45, 0.45), cfg,
                         batch_size=batch_size)
     rng = np.random.default_rng(0)
-    imgs = rng.integers(0, 256, (batch_size, cfg.inp_res, cfg.inp_res, 3),
+    chunks = int(os.environ.get("UBPL_INFER_CHUNKS", "1"))  # >1: pipelined
+    imgs = rng.integers(0, 256,
+                        (batch_size * chunks, cfg.inp_res, cfg.inp_res, 3),
                         dtype=np.uint8)
     if os.environ.get("UBPL_INFER_DEVICE_INPUT") == "1":
         # compute-only rate: input pre-staged in HBM (how a production
         # pipeline feeds the chip); excludes this host's tunnel transfer
         # (PoseEstimator.predict round-trips numpy, so drive the jitted
         # program directly)
-        imgs_d = jax.device_put(jnp.asarray(imgs))
+        imgs_d = jax.device_put(jnp.asarray(imgs[:batch_size]))
         out = est._predict(est.params, est.batch_stats, imgs_d)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
@@ -58,7 +60,7 @@ def measure(batch_size, model="HG3", steps=STEPS):
         kps, scores = est.predict(imgs)
     np.asarray(kps)
     dt = time.perf_counter() - t0
-    return batch_size * steps / dt, dt / steps * 1000.0
+    return imgs.shape[0] * steps / dt, dt / steps * 1000.0
 
 
 def main():
@@ -66,6 +68,9 @@ def main():
     mode = ("device-resident input"
             if os.environ.get("UBPL_INFER_DEVICE_INPUT") == "1"
             else "host input (includes this dev host's tunnel transfer)")
+    chunks = int(os.environ.get("UBPL_INFER_CHUNKS", "1"))
+    if chunks > 1:
+        mode += f", {chunks} pipelined chunks/request"
     for bs in sizes:
         ips, ms = measure(bs)
         print(json.dumps({

@@ -85,21 +85,41 @@ class PoseEstimator:
                                                  batch_stats)
         return cls(net, params, batch_stats, means, cfg)
 
-    def predict(self, images_u8):
-        """images_u8: numpy [N, inp_res, inp_res, 3] BGR uint8.
-        Returns (kps [N, K, 2] image coords, scores [N, K])."""
-        images_u8 = np.asarray(images_u8)
-        N = images_u8.shape[0]
+    def _chunks(self, images_u8):
         bs = self.batch_size
-        kps_out, scores_out = [], []
-        for i in range(0, N, bs):
+        for i in range(0, images_u8.shape[0], bs):
             chunk = images_u8[i:i + bs]
             pad = bs - chunk.shape[0]
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            coords, scores = self._predict(self.params, self.batch_stats,
-                                           jnp.asarray(chunk))
-            kps_out.append(np.asarray(coords)[:bs - pad if pad else bs])
-            scores_out.append(np.asarray(scores)[:bs - pad if pad else bs])
+            yield chunk, bs - pad
+
+    def predict(self, images_u8):
+        """images_u8: numpy [N, inp_res, inp_res, 3] BGR uint8.
+        Returns (kps [N, K, 2] image coords, scores [N, K]).
+
+        Multi-chunk requests are double-buffered: chunk i+1's host->device
+        transfer is issued (asynchronously) before blocking on chunk i's
+        results, so transfer and compute overlap — on hosts where the PCIe
+        link is the bottleneck this hides most of the compute time."""
+        images_u8 = np.asarray(images_u8)
+        if images_u8.shape[0] == 0:
+            K = self.cfg.kps_count
+            return (np.zeros((0, K, 2), np.float32),
+                    np.zeros((0, K), np.float32))
+        kps_out, scores_out = [], []
+        pending = None         # (device_chunk, n_valid)
+        for chunk, n in self._chunks(images_u8):
+            staged = (jax.device_put(chunk), n)
+            if pending is not None:
+                coords, scores = self._predict(self.params, self.batch_stats,
+                                               pending[0])
+                kps_out.append(np.asarray(coords)[:pending[1]])
+                scores_out.append(np.asarray(scores)[:pending[1]])
+            pending = staged
+        coords, scores = self._predict(self.params, self.batch_stats,
+                                       pending[0])
+        kps_out.append(np.asarray(coords)[:pending[1]])
+        scores_out.append(np.asarray(scores)[:pending[1]])
         return np.concatenate(kps_out), np.concatenate(scores_out)
