@@ -67,6 +67,32 @@ def test_failed_save_preserves_previous_checkpoint(tmp_path, monkeypatch):
     assert leftovers == []
 
 
+def test_restore_crash_window_fallbacks(tmp_path):
+    """A crash between the two checkpoint renames leaves '<t>.old' (and
+    possibly a committed '<t>.new'); restore_checkpoint must read them
+    rather than silently restarting from scratch."""
+    import os
+    from ubpl_tpu.train import checkpointing as ck
+    base = str(tmp_path / "run")
+    ck.save_checkpoint(base, 0, {"w": np.arange(3.0)})
+    target, _ = ck._paths(base)
+    os.rename(target, target + ".old")       # crash after first rename
+    with pytest.warns(UserWarning, match="crash-window"):
+        restored, meta = ck.restore_checkpoint(base)
+    assert int(meta["current_epoch"]) == 0
+    np.testing.assert_allclose(np.asarray(restored["w"]), np.arange(3.0))
+
+    ck.save_checkpoint(base, 1, {"w": np.ones(3)})
+    os.rename(target, target + ".new")       # crash before final rename
+    with pytest.warns(UserWarning, match="crash-window"):
+        _, m2 = ck.restore_checkpoint(base)
+    assert int(m2["current_epoch"]) == 1     # .new (committed) wins
+    # and the next save adopts the committed copy instead of deleting it
+    ck.save_checkpoint(base, 2, {"w": np.zeros(3)})
+    _, m3 = ck.restore_checkpoint(base)
+    assert int(m3["current_epoch"]) == 2
+
+
 def test_resume_restores_pseudo_state(tmp_path):
     """Resume with cfg.pseudo_rounds>0 must restore the round budget and the
     injected pseudo kps/islabeled arrays, not silently reset them (ADVICE

@@ -19,6 +19,18 @@ sys.path.insert(0, REPO)
 STEPS = int(os.environ.get("UBPL_BENCH_STEPS", "30"))
 
 
+def _device_input():
+    return os.environ.get("UBPL_INFER_DEVICE_INPUT") == "1"
+
+
+def _chunks():
+    # pipelining only applies to the host-input predict() path; the
+    # device-input mode drives a single pre-staged batch
+    if _device_input():
+        return 1
+    return int(os.environ.get("UBPL_INFER_CHUNKS", "1"))
+
+
 def measure(batch_size, model="HG3", steps=STEPS):
     import numpy as np
     import jax
@@ -35,11 +47,11 @@ def measure(batch_size, model="HG3", steps=STEPS):
     est = PoseEstimator(m, params, batch_stats, (0.45, 0.45, 0.45), cfg,
                         batch_size=batch_size)
     rng = np.random.default_rng(0)
-    chunks = int(os.environ.get("UBPL_INFER_CHUNKS", "1"))  # >1: pipelined
+    chunks = _chunks()                                      # >1: pipelined
     imgs = rng.integers(0, 256,
                         (batch_size * chunks, cfg.inp_res, cfg.inp_res, 3),
                         dtype=np.uint8)
-    if os.environ.get("UBPL_INFER_DEVICE_INPUT") == "1":
+    if _device_input():
         # compute-only rate: input pre-staged in HBM (how a production
         # pipeline feeds the chip); excludes this host's tunnel transfer
         # (PoseEstimator.predict round-trips numpy, so drive the jitted
@@ -65,12 +77,10 @@ def measure(batch_size, model="HG3", steps=STEPS):
 
 def main():
     sizes = [int(a) for a in sys.argv[1:]] or [1, 8, 32, 64]
-    mode = ("device-resident input"
-            if os.environ.get("UBPL_INFER_DEVICE_INPUT") == "1"
+    mode = ("device-resident input" if _device_input()
             else "host input (includes this dev host's tunnel transfer)")
-    chunks = int(os.environ.get("UBPL_INFER_CHUNKS", "1"))
-    if chunks > 1:
-        mode += f", {chunks} pipelined chunks/request"
+    if _chunks() > 1:
+        mode += f", {_chunks()} pipelined chunks/request"
     for bs in sizes:
         ips, ms = measure(bs)
         print(json.dumps({

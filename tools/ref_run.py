@@ -202,6 +202,21 @@ def main():
 
         mod.train = train
 
+        # During skipped epochs the reference main loop would still call
+        # comm.ckpt_save every epoch (projects/MT_UBPL.py:103) with the
+        # UNTRAINED fresh-init models — and the epoch-0 stub accs (0.0 >
+        # initial best_acc -1.0) would even mark is_best, clobbering
+        # checkpoint_best.pth.tar with random weights.  Gate the save until
+        # the resume states are loaded.
+        _orig_ckpt_save = mod.comm.ckpt_save
+
+        def _gated_ckpt_save(state, is_best, ckptPath="ckpts"):
+            if not _resume_state["loaded"]:
+                return
+            return _orig_ckpt_save(state, is_best, ckptPath=ckptPath)
+
+        mod.comm.ckpt_save = _gated_ckpt_save
+
         orig_validate = mod.validate
 
         def validate(validLoader, models_ema, args):

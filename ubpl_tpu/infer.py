@@ -14,6 +14,7 @@ Usage:
                                         kps_count=9)
     kps, scores = est.predict(images_u8)   # [N,256,256,3] BGR uint8
 """
+import itertools
 from typing import Optional
 
 import jax
@@ -110,16 +111,14 @@ class PoseEstimator:
                     np.zeros((0, K), np.float32))
         kps_out, scores_out = [], []
         pending = None         # (device_chunk, n_valid)
-        for chunk, n in self._chunks(images_u8):
-            staged = (jax.device_put(chunk), n)
+        chunks = itertools.chain(self._chunks(images_u8), (None,))
+        for item in chunks:    # trailing sentinel drains the last chunk
+            staged = (None if item is None
+                      else (jax.device_put(item[0]), item[1]))
             if pending is not None:
                 coords, scores = self._predict(self.params, self.batch_stats,
                                                pending[0])
                 kps_out.append(np.asarray(coords)[:pending[1]])
                 scores_out.append(np.asarray(scores)[:pending[1]])
             pending = staged
-        coords, scores = self._predict(self.params, self.batch_stats,
-                                       pending[0])
-        kps_out.append(np.asarray(coords)[:pending[1]])
-        scores_out.append(np.asarray(scores)[:pending[1]])
         return np.concatenate(kps_out), np.concatenate(scores_out)

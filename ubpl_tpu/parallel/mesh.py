@@ -60,6 +60,13 @@ def build_mesh(cfg, devices=None) -> Optional[Mesh]:
         if bs > 0:
             while n > 1 and bs % n != 0:
                 n -= 1
+        if n < len(devices):
+            import warnings
+            warnings.warn(
+                f"auto mesh shrunk to {n} of {len(devices)} local devices: "
+                f"train_bs={bs} is not divisible by the device count; set "
+                "train_bs to a multiple of it (or mesh_shape explicitly) to "
+                "use every chip")
         if n <= 1:
             return None
         return make_mesh((n,), ("data",), devices[:n])

@@ -495,6 +495,18 @@ class BaseTrainer:
         rounds = meta.get("pseudo_rounds_done")
         if not rounds or not self.supports_pseudo_loop:
             return
+        saved_kps = np.asarray(meta["pseudo_kps"])
+        if saved_kps.shape != tuple(self.train_data.kps.shape):
+            # dataset padding depends on the mesh ('data'-axis multiple), so
+            # a checkpoint from a host with a different device count can
+            # carry differently-padded arrays — fail loudly rather than
+            # swap in mismatched rows
+            raise ValueError(
+                f"pseudo-state resume: checkpointed kps {saved_kps.shape} "
+                f"vs dataset {tuple(self.train_data.kps.shape)} — the "
+                "checkpoint was written with a different mesh/device count; "
+                "resume on a matching mesh (mesh_shape) or restart the "
+                "pseudo rounds")
         # build the loop first: its reset baseline must be the PRISTINE
         # arrays, and train_data is still pristine at resume time
         loop = self._ensure_pseudo_loop()

@@ -59,6 +59,10 @@ def save_checkpoint(base_path, epoch, state, is_best=False, extra=None):
         # "<dir>.orbax-checkpoint-tmp-<ts>" before renaming.)
         staged = f"{target}.new"
         try:
+            if not os.path.exists(target) and os.path.exists(staged):
+                # adopt a committed crash-window copy (rename didn't land
+                # last run) instead of deleting the only checkpoint
+                os.rename(staged, target)
             shutil.rmtree(staged, ignore_errors=True)
             ckptr.save(staged, payload)
             retired = f"{target}.old"
@@ -67,12 +71,21 @@ def save_checkpoint(base_path, epoch, state, is_best=False, extra=None):
                 os.rename(target, retired)
             os.rename(staged, target)
             shutil.rmtree(retired, ignore_errors=True)
+            # stale orbax staging dirs from an earlier crashed (SIGKILLed)
+            # save are cleaned on the next success, not only on exception
+            for stale in (glob.glob(f"{target}.orbax-checkpoint-tmp*")
+                          + glob.glob(f"{staged}.orbax-checkpoint-tmp*")):
+                shutil.rmtree(stale, ignore_errors=True)
         except Exception as e:  # noqa: BLE001 — keep training alive
             warnings.warn(f"checkpoint save to {target} failed "
                           f"(epoch {epoch + 1}): {e}")
+            # NOTE: `staged` is deliberately NOT deleted here — if
+            # ckptr.save committed it but a rename failed, it is the newest
+            # complete checkpoint and restore_checkpoint can read it (the
+            # next successful save overwrites it).  Only orbax's own
+            # tmp dirs (incomplete by construction) are removed.
             for stale in (glob.glob(f"{target}.orbax-checkpoint-tmp*")
-                          + glob.glob(f"{staged}.orbax-checkpoint-tmp*")
-                          + [staged]):
+                          + glob.glob(f"{staged}.orbax-checkpoint-tmp*")):
                 shutil.rmtree(stale, ignore_errors=True)
 
 
@@ -82,7 +95,18 @@ def restore_checkpoint(base_path, state=None, best=False):
     latest, best_p = _paths(base_path)
     target = best_p if best else latest
     if not os.path.exists(target):
-        return None, None
+        # crash-window fallbacks, newest first: a committed staging dir
+        # whose final rename didn't land ("<t>.new" — orbax's own save is
+        # atomic, so its existence implies completeness), then the retired
+        # previous checkpoint ("<t>.old") stranded between the two renames.
+        for cand in (f"{target}.new", f"{target}.old"):
+            if os.path.exists(cand):
+                warnings.warn(f"checkpoint {target} missing; restoring the "
+                              f"crash-window fallback {cand}")
+                target = cand
+                break
+        else:
+            return None, None
     ckptr = ocp.PyTreeCheckpointer()
     payload = ckptr.restore(target)
     restored, meta = payload["state"], payload["meta"]
