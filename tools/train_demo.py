@@ -6,6 +6,7 @@ hyper-parameters and records per-epoch PCK@0.2 to TRAIN_DEMO_<regime>.json.
 
     python tools/train_demo.py supervised 50
     python tools/train_demo.py mt_ubpl 30
+    python tools/train_demo.py mt_ubpl 30 2 10   # + 2 UBPL rounds, every 10
 """
 import json
 import os
@@ -19,9 +20,12 @@ sys.path.insert(0, REPO)
 def main():
     regime = sys.argv[1] if len(sys.argv) > 1 else "supervised"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    pseudo_rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    pseudo_interval = int(sys.argv[4]) if len(sys.argv) > 4 else 10
     from ubpl_tpu.config import Config
     cfg = Config(model="HG3", data_source="Mouse", train_count=100,
                  valid_count=500, label_ratio=0.3, epochs=epochs,
+                 pseudo_rounds=pseudo_rounds, pseudo_interval=pseudo_interval,
                  cache_dir=os.path.join(REPO, "temp_data"))
     if regime == "supervised":
         from ubpl_tpu.train.supervised import SupervisedTrainer as T
@@ -38,7 +42,8 @@ def main():
     trainer = T(cfg)
     # base_path => per-epoch logData written as the run progresses, so a
     # wall-clock-cut run is still harvestable
-    history = trainer.run(f"/tmp/ubpl_demo/{regime}")
+    suffix = f"{regime}_pseudo" if pseudo_rounds else regime
+    history = trainer.run(f"/tmp/ubpl_demo/{suffix}")
     out = {
         "regime": regime, "epochs": epochs,
         "best_acc": trainer.best_acc, "best_epoch": trainer.best_epoch,
@@ -46,7 +51,15 @@ def main():
         "acc_curve": [h["accs"][-1][-1] for h in history],
         "wallclock_s": time.time() - t0,
     }
-    path = os.path.join(REPO, f"TRAIN_DEMO_{regime}.json")
+    if pseudo_rounds:
+        out["pseudo_rounds"] = trainer._pseudo_rounds_done
+        rounds_dir = f"/tmp/ubpl_demo/{suffix}/logs/pseudoRounds"
+        if os.path.isdir(rounds_dir):
+            out["rounds"] = {}
+            for fn in sorted(os.listdir(rounds_dir)):
+                with open(os.path.join(rounds_dir, fn)) as f:
+                    out["rounds"][fn] = json.load(f)
+    path = os.path.join(REPO, f"TRAIN_DEMO_{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print("wrote", path)
