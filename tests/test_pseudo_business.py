@@ -88,21 +88,45 @@ def test_apply_pseudo_labels():
 
 
 def test_mld_combine():
+    # executed reference semantics (accumulated .grad): the vertical is taken
+    # against g_tot = g_pri + g_sec, gate on <g_sec, g_tot>; for
+    # gp=[1,0], gs=[1,1], alpha=1: g_tot=[2,1], ip=3>0, cosine=3/sqrt(10),
+    # vertical=[1,1]-0.6*[2,1]=[-0.2,0.4] -> final=[2.2,0.6]
     gp = {"w": jnp.array([1.0, 0.0])}
     gs = {"w": jnp.array([1.0, 1.0])}
     out = mld_combine(gp, gs, alpha=1.0)
-    # inner product > 0: secondary's parallel-to-primary part is kept,
-    # its orthogonal ("vertical") part removed at alpha=1
-    np.testing.assert_allclose(np.asarray(out["w"]), [2.0, 0.0], atol=1e-6)
-    gs_neg = {"w": jnp.array([-1.0, 0.5])}
-    out2 = mld_combine(gp, gs_neg, alpha=1.0)
-    np.testing.assert_allclose(np.asarray(out2["w"]), [0.0, 0.5], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["w"]), [2.2, 0.6], atol=1e-6)
+    # anti-aligned primary that overwhelms the secondary closes the gate
+    # (<g_sec, g_tot> = <[1,0],[-1,0]> < 0): plain gradient sum
+    gp_neg = {"w": jnp.array([-2.0, 0.0])}
+    gs2 = {"w": jnp.array([1.0, 0.0])}
+    out2 = mld_combine(gp_neg, gs2, alpha=1.0)
+    np.testing.assert_allclose(np.asarray(out2["w"]), [-1.0, 0.0], atol=1e-6)
 
     tx = mld_optimizer(optax.sgd(0.1), alpha=1.0)
     params = {"w": jnp.zeros(2)}
     st = tx.init(params)
     upd, st = tx.update((gp, gs), st, params)
-    np.testing.assert_allclose(np.asarray(upd["w"]), [-0.2, 0.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(upd["w"]), [-0.22, -0.06], atol=1e-6)
+
+
+def test_mld_golden():
+    """mld_combine vs the reference MLDOptim executed under torch
+    (tools/make_goldens.py gold_mld; reference utils/MLDOptim.py:17-56)."""
+    import os
+    z = np.load(os.path.join(os.path.dirname(__file__), "goldens", "mld.npz"))
+    for i in range(int(z["n_cases"])):
+        alpha = float(z[f"alpha_{i}"])
+        gp = {f"p{j}": jnp.asarray(z[f"case{i}_pri_{j}"])
+              for j in range(int(z["n_params"]))}
+        gs = {f"p{j}": jnp.asarray(z[f"case{i}_sec_{j}"])
+              for j in range(int(z["n_params"]))}
+        out = mld_combine(gp, gs, alpha=alpha)
+        for j in range(int(z["n_params"])):
+            np.testing.assert_allclose(np.asarray(out[f"p{j}"]),
+                                       z[f"case{i}_final_{j}"],
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=f"case{i} param{j}")
 
 
 def test_feature_pool():

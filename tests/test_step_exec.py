@@ -80,6 +80,74 @@ def test_unroll_branches_equivalence():
                                rtol=1e-4, atol=2.1 * lr)
 
 
+def test_remat_equivalence():
+    """Config.remat (jax.checkpoint around the training forward) must not
+    change the math: the forward is the identical program, the backward
+    recomputes it — losses match tightly; params get the usual program-level
+    Adam tolerance (recomputation can reassociate reductions)."""
+    t_remat = MTUBPLTrainer(_cfg(remat=True))
+    t_plain = MTUBPLTrainer(_cfg(remat=False))
+    sched = t_remat.epoch_schedules(0)
+    args = (sched["cons_weight"], sched["fdl_weight"],
+            sched["pseudo_weight"], sched["ema_alpha"])
+    idxs = jnp.asarray(next(iter(t_remat.make_sampler())))
+    s1, m1 = t_remat.train_step(t_remat.state, idxs, 1, *args)
+    s2, m2 = t_plain.train_step(t_plain.state, idxs, 1, *args)
+    for k in ("pec", "mtc", "epc", "fdc"):
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+    lr = t_plain.cfg.lr
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p2 = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=1e-4, atol=2.1 * lr)
+
+
+def test_mld_optimizer_step():
+    """Config.optimizer='mld' (reference utils/MLDOptim.py surgery, wired
+    first-class): at alpha=0 the surgery is the identity on the summed
+    gradient, so one step from identical state must match plain adamw up to
+    program-level noise (the mld path pulls two vjps through one forward,
+    the adamw path one value_and_grad — different fusions; params get
+    atol ~ 2*lr as in the unroll test).  At alpha>0 the step must run and
+    stay finite."""
+    t_mld0 = MTUBPLTrainer(_cfg(optimizer="mld", mld_alpha=0.0))
+    t_adam = MTUBPLTrainer(_cfg())
+    sched = t_mld0.epoch_schedules(0)
+    args = (sched["cons_weight"], sched["fdl_weight"],
+            sched["pseudo_weight"], sched["ema_alpha"])
+    idxs = jnp.asarray(next(iter(t_mld0.make_sampler())))
+    s1, m1 = t_mld0.train_step(t_mld0.state, idxs, 1, *args)
+    s2, m2 = t_adam.train_step(t_adam.state, idxs, 1, *args)
+    for k in ("pec", "mtc", "epc", "fdc"):
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+    lr = t_adam.cfg.lr
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p2 = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=1e-4, atol=2.1 * lr)
+
+    t_mld = MTUBPLTrainer(_cfg(optimizer="mld", mld_alpha=0.5))
+    s3, m3 = t_mld.train_step(t_mld.state, idxs, 1, *args)
+    assert all(np.isfinite(np.asarray(m3[k])).all()
+               for k in ("pec", "mtc", "epc", "fdc"))
+    p3 = jax.tree_util.tree_leaves(s3.params)[0]
+    assert np.isfinite(np.asarray(p3)).all()
+
+    from ubpl_tpu.train.dualpose_ubpl import DualPoseUBPLTrainer
+    t_dp = DualPoseUBPLTrainer(_cfg(optimizer="mld", mld_alpha=0.5,
+                                    scale_range_ema=0.05, rot_range_ema=5.0))
+    s4, m4 = t_dp.train_step(t_dp.state, idxs, 1, *args)
+    assert all(np.isfinite(np.asarray(m4[k])).all()
+               for k in ("pec", "mtc", "epc", "fdc"))
+
+    import pytest
+    from ubpl_tpu.train.supervised import SupervisedTrainer
+    with pytest.raises(ValueError, match="mld"):
+        SupervisedTrainer(_cfg(optimizer="mld"))
+
+
 def test_scan_batches_equivalence_mt_ubpl():
     """One k=3 scan chunk vs the same 3 plain steps.  Step 1 must match to
     float noise (proves batch order / RNG fold / step numbering align);

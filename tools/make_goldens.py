@@ -249,6 +249,57 @@ def gold_schedules():
     save("schedules", epochs=epochs, cons=cons, pseudo=pseudo, fdl=fdl, alpha=alpha)
 
 
+def gold_mld():
+    """MLD optimizer gradient surgery, executed semantics (utils/MLDOptim.py).
+
+    Runs the reference optimizer's secondary_loss_backward +
+    primary_loss_backward flow on a tiny MLP and records the pure per-loss
+    gradients (inputs) and the post-surgery .grad (output).  Because
+    ``.backward`` accumulates, the executed math differs from the idealised
+    decomposition formula — the golden pins the executed version.
+    """
+    from utils.MLDOptim import MLDOptim
+
+    def run_case(alpha, pri_scale):
+        torch.manual_seed(99)
+        model = torch.nn.Sequential(torch.nn.Linear(3, 4), torch.nn.Tanh(),
+                                    torch.nn.Linear(4, 2))
+        x1 = torch.randn(5, 3)
+        x2 = torch.randn(5, 3)
+        y = torch.randn(5, 2)
+        loss_sec = (model(x2) ** 2).mean()
+        if pri_scale is None:
+            loss_pri = ((model(x1) - y) ** 2).mean()
+        else:
+            loss_pri = pri_scale * (model(x2) ** 2).mean()
+        params = list(model.parameters())
+        g_pri = torch.autograd.grad(loss_pri, params, retain_graph=True,
+                                    create_graph=False)
+        g_sec = torch.autograd.grad(loss_sec, params, retain_graph=True,
+                                    create_graph=False)
+        base = torch.optim.SGD(params, lr=0.1)
+        opt = MLDOptim(params, base, model, alpha)
+        opt.secondary_loss_backward(loss_sec)
+        opt.primary_loss_backward(loss_pri)
+        g_final = [p.grad.detach().clone() for p in params]
+        return g_pri, g_sec, g_final
+
+    arrs = {}
+    # (alpha, pri_scale): None = independent MSE primary (gate fires);
+    # -3.0 makes g_tot = -2*g_sec so <g_sec, g_tot> < 0 (gate closed).
+    for i, (alpha, scale) in enumerate([(0.5, None), (1.0, None),
+                                        (0.7, -3.0)]):
+        g_pri, g_sec, g_final = run_case(alpha, scale)
+        arrs[f"alpha_{i}"] = np.float32(alpha)
+        for j, (gp, gs, gf) in enumerate(zip(g_pri, g_sec, g_final)):
+            arrs[f"case{i}_pri_{j}"] = gp.numpy()
+            arrs[f"case{i}_sec_{j}"] = gs.numpy()
+            arrs[f"case{i}_final_{j}"] = gf.numpy()
+    arrs["n_cases"] = np.int32(3)
+    arrs["n_params"] = np.int32(4)
+    save("mld", **arrs)
+
+
 def main():
     rng = np.random.default_rng(1388)
     torch.manual_seed(1388)
@@ -259,6 +310,7 @@ def main():
     gold_warpmat(rng)
     gold_losses(rng)
     gold_schedules()
+    gold_mld()
 
 
 if __name__ == "__main__":

@@ -41,14 +41,31 @@ def main():
     t0 = time.time()
     trainer = T(cfg)
     # base_path => per-epoch logData written as the run progresses, so a
-    # wall-clock-cut run is still harvestable
+    # wall-clock-cut run is still harvestable; UBPL_DEMO_RESUME=1 continues
+    # a cut run from its latest checkpoint (restores pseudo-round state too)
     suffix = f"{regime}_pseudo" if pseudo_rounds else regime
-    history = trainer.run(f"/tmp/ubpl_demo/{suffix}")
+    base = f"/tmp/ubpl_demo/{suffix}"
+    resume = os.environ.get("UBPL_DEMO_RESUME") == "1"
+    history = trainer.run(base, resume=resume)
+    # rebuild the full curve from the per-epoch logData files so a resumed
+    # run reports all epochs, not just the post-resume ones
+    log_dir = os.path.join(base, "logs", "logData")
+    curve = []
+    if os.path.isdir(log_dir):
+        for epo in range(cfg.epochs):
+            fn = os.path.join(log_dir, f"logData_{epo}.json")
+            if not os.path.isfile(fn):
+                break
+            with open(fn) as f:
+                curve.append(json.load(f)["accs"][-1][-1])
+    else:
+        curve = [h["accs"][-1][-1] for h in history]
     out = {
         "regime": regime, "epochs": epochs,
         "best_acc": trainer.best_acc, "best_epoch": trainer.best_epoch,
-        "final_accs": history[-1]["accs"],
-        "acc_curve": [h["accs"][-1][-1] for h in history],
+        "final_accs": history[-1]["accs"] if history else None,
+        "acc_curve": curve,
+        "resumed": resume,
         "wallclock_s": time.time() - t0,
     }
     if pseudo_rounds:

@@ -40,6 +40,18 @@ class Config:
     infer_bs: int = 128
     lr: float = 2.5e-4
     wd: float = 0.0
+    optimizer: str = "adamw"            # adamw | mld.  "mld" wraps adamw in
+                                        # the reference's Multiple-Loss-
+                                        # Decomposition surgery (utils/
+                                        # MLDOptim.py — shipped but dormant
+                                        # upstream; first-class here on the
+                                        # dual-branch trainers): primary =
+                                        # supervised pose loss, secondary =
+                                        # consistency terms (MTC+EPC+FDC)
+    mld_alpha: float = 0.5              # fraction of the secondary gradient's
+                                        # vertical component removed (the
+                                        # reference exposes alpha with no
+                                        # default; 0.5 is ours)
     power: float = 0.9                  # reference --power (lr-decay power);
                                         # the reference parses but never
                                         # consumes it — kept so reference
@@ -114,6 +126,14 @@ class Config:
                                         # 4-group grouped convs run ~40%
                                         # under the 2-group ones (78 vs 133
                                         # img/s at bs=32) — default off.
+    remat: bool = False                 # jax.checkpoint the training forward:
+                                        # backward recomputes activations
+                                        # instead of holding them in HBM —
+                                        # enables memory-bound batch sizes
+                                        # (bs=64 measured activation-pressure-
+                                        # limited, docs/PERF.md) at ~1 extra
+                                        # forward of FLOPs.  Identical math
+                                        # (tests/test_step_exec.py)
     scan_batches: int = 1               # >1: lax.scan k train batches per
                                         # device call (amortizes dispatch for
                                         # the reference's small bs=4 steps)

@@ -31,8 +31,19 @@ class BaseTrainer:
     valid_heads: Tuple[str, ...] = ("model",)
     #: dual-teacher regimes can run the UBPL selection loop during training
     supports_pseudo_loop = False
+    #: regimes with a primary/secondary loss split can run Config.optimizer
+    #: = "mld" (reference utils/MLDOptim.py two-loss gradient surgery)
+    supports_mld = False
 
     def __init__(self, cfg: Config, logger=None, mesh=None):
+        if cfg.optimizer not in ("adamw", "mld"):
+            raise ValueError(f"unknown optimizer {cfg.optimizer!r} "
+                             "(adamw | mld)")
+        if cfg.optimizer == "mld" and not self.supports_mld:
+            raise ValueError(
+                "optimizer='mld' needs a primary/secondary loss split; "
+                f"{self.regime} has a single loss group "
+                "(supported: MT_UBPL, DualPose_UBPL)")
         self.cfg = cfg
         self.logger = logger or Logger(f"{cfg.data_source}_{self.regime}")
         self.mesh = mesh
@@ -186,6 +197,7 @@ class BaseTrainer:
         """
         n_branch = n_branch or self.n_models
         mesh = self.mesh
+        remat = bool(self.cfg.remat) and train
         use_smap = mesh is not None and "model" in mesh.axis_names
 
         if not use_smap:
@@ -207,7 +219,7 @@ class BaseTrainer:
                             model, jax.tree_util.tree_map(take, params_m),
                             jax.tree_util.tree_map(take, bs_m),
                             images[m] if stacked_images else images,
-                            train, dtype)
+                            train, dtype, remat=remat)
                         outs.append(out)
                         bss.append(new_bs)
                     preds = jnp.stack([o[0] for o in outs])
@@ -223,7 +235,8 @@ class BaseTrainer:
                     images, (n_branch,) + images.shape))
 
                 def one(p, b, x):
-                    return forward_heatmaps(model, p, b, x, train, dtype)
+                    return forward_heatmaps(model, p, b, x, train, dtype,
+                                            remat=remat)
 
                 return jax.vmap(one)(params_m, bs_m, images_m)
             return fwd
@@ -244,7 +257,8 @@ class BaseTrainer:
                 p = jax.tree_util.tree_map(lambda t: t[0], p_local)
                 b = jax.tree_util.tree_map(lambda t: t[0], b_local)
                 (preds, feats), new_b = forward_heatmaps(model, p, b, images,
-                                                         train, dtype)
+                                                         train, dtype,
+                                                         remat=remat)
                 expand = lambda t: t[None]
                 return (expand(preds), expand(feats),
                         jax.tree_util.tree_map(expand, new_b))
@@ -252,8 +266,9 @@ class BaseTrainer:
                 images, (local_n,) + images.shape))
             (preds, feats), new_b = jax.vmap(
                 lambda p, b, x: forward_heatmaps(model, p, b, x, train,
-                                                 dtype))(p_local, b_local,
-                                                         images_l)
+                                                 dtype, remat=remat))(
+                                                     p_local, b_local,
+                                                     images_l)
             return preds, feats, new_b
 
         img_spec = P("model") if stacked_images else P()

@@ -121,14 +121,25 @@ def make_class_view(rng, images_u8, means, cfg, *, augment=True):
     return imgs
 
 
-def forward_heatmaps(model, params, batch_stats, images, train, compute_dtype):
-    """Apply a pose model; returns ((preds, feats_or_None), new_batch_stats)."""
+def forward_heatmaps(model, params, batch_stats, images, train, compute_dtype,
+                     remat=False):
+    """Apply a pose model; returns ((preds, feats_or_None), new_batch_stats).
+
+    remat=True (Config.remat) wraps the training forward in jax.checkpoint:
+    the backward pass recomputes activations instead of keeping them live,
+    trading ~one extra forward of FLOPs for a large cut in activation HBM —
+    the standard TPU lever for batch sizes that are memory- rather than
+    compute-bound (identical math; see tests/test_step_exec.py)."""
     x = images.astype(compute_dtype) if compute_dtype is not None else images
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
-        out, mut = model.apply(variables, x, train=True,
-                               mutable=["batch_stats"])
-        new_bs = mut["batch_stats"]
+        def apply_train(p, b, xx):
+            out, mut = model.apply({"params": p, "batch_stats": b}, xx,
+                                   train=True, mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+        if remat:
+            apply_train = jax.checkpoint(apply_train)
+        out, new_bs = apply_train(params, batch_stats, x)
     else:
         out = model.apply(variables, x, train=False)
         new_bs = batch_stats

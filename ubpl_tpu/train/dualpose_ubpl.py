@@ -17,6 +17,7 @@ import optax
 from ..data import TwoStreamBatchSampler
 from .base_trainer import BaseTrainer
 from .common import make_view
+from .mld_optim import mld_optimizer
 from .mt_ubpl import DualState
 from . import losses as L
 from . import schedules as S
@@ -27,12 +28,16 @@ class DualPoseUBPLTrainer(BaseTrainer):
     valid_heads = ("teacher1", "teacher2", "mean")
     n_models = 2
     supports_pseudo_loop = True   # cfg.pseudo_rounds > 0 enables UBPL rounds
+    supports_mld = True           # cfg.optimizer = "mld": primary = PEC,
+                                  # secondary = MTC + EPC + 2*FDC
 
     def _setup_model(self):
         cfg = self.cfg
         self.model = self._make_model()
         params, batch_stats = self._init_n(self.model, self.n_models)
-        self.tx = optax.adamw(cfg.lr, weight_decay=cfg.wd)
+        base_tx = optax.adamw(cfg.lr, weight_decay=cfg.wd)
+        self.tx = (mld_optimizer(base_tx, cfg.mld_alpha)
+                   if cfg.optimizer == "mld" else base_tx)
         self.state = DualState(params, batch_stats,
                                jax.tree_util.tree_map(jnp.copy, params),
                                jax.tree_util.tree_map(jnp.copy, batch_stats),
@@ -159,17 +164,30 @@ class DualPoseUBPLTrainer(BaseTrainer):
                                                            fdl_mask)
                     fdc = fdl_weight * jnp.where(n > 0, c / jnp.maximum(n, 1), c)
                     fdc_count = n
-                total = jnp.sum(pec + mtc + epc) + 2.0 * fdc
+                pri = jnp.sum(pec)
+                sec = jnp.sum(mtc + epc) + 2.0 * fdc
                 aux = {"pec": pec, "pec_count": pec_count,
                        "mtc": mtc, "mtc_count": mtc_count,
                        "epc": epc, "epc_count": epc_count,
                        "fdc": fdc, "fdc_count": fdc_count,
                        "n_pseudo": n_pseudo, "n_sel": n_sel,
                        "batch_stats": bs_state, "ema_batch_stats": ema_bs}
-                return total, aux
+                return (pri, sec), aux
 
-            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params)
+            if cfg.optimizer == "mld":
+                # one forward, two pullbacks (see mt_ubpl.py / mld_optim.py)
+                (pri, sec), vjp_fn, aux = jax.vjp(loss_fn, state.params,
+                                                  has_aux=True)
+                g_pri, = vjp_fn((jnp.ones_like(pri), jnp.zeros_like(sec)))
+                g_sec, = vjp_fn((jnp.zeros_like(pri), jnp.ones_like(sec)))
+                grads = (g_pri, g_sec)
+            else:
+                def total_fn(params):
+                    (pri, sec), aux = loss_fn(params)
+                    return pri + sec, aux
+
+                (_, aux), grads = jax.value_and_grad(total_fn, has_aux=True)(
+                    state.params)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             ema_params = jax.tree_util.tree_map(

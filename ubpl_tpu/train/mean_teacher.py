@@ -105,7 +105,8 @@ class MeanTeacherTrainer(BaseTrainer):
                         out_ema = jax.lax.stop_gradient(pf[1])
                     else:
                         (preds, _), bs_state = forward_heatmaps(
-                            model, params, bs_state, v.images, True, dtype)
+                            model, params, bs_state, v.images, True, dtype,
+                            remat=cfg.remat)
                         out_ema = outs_ema_pre[a]
                     s, n = L.joint_dist(preds[:, -1], out_ema[:, -1])
                     mtc_sum, mtc_count = mtc_sum + s, mtc_count + n

@@ -1,21 +1,40 @@
-"""Multiple-Loss-Decomposition optimizer (reference utils/MLDOptim.py, dormant).
+"""Multiple-Loss-Decomposition optimizer (reference utils/MLDOptim.py, dormant
+upstream; wired here as ``Config.optimizer="mld"`` on the dual-branch trainers).
 
-Two-loss gradient surgery: when the secondary loss's gradient conflicts less
-than orthogonally with the primary gradient (positive inner product), keep
-only the component of the secondary gradient orthogonal to the primary one:
+The reference's call pattern is two accumulating backward passes over one
+graph (MLDOptim.py:18-56):
 
-    vertical = g_sec - cos(g_sec, g_pri) * ||g_sec|| * g_pri / ||g_pri||
-    g_final  = g_pri + g_sec - alpha * vertical        (inner product > 0)
-    g_final  = g_pri + g_sec                            (otherwise)
+    secondary_loss_backward(L_sec)   # .grad  = g_sec   (stored as old_g)
+    primary_loss_backward(L_pri)     # .grad += g_pri   -> g_tot = g_sec+g_pri
 
-(The reference accumulates both backward passes into .grad, then subtracts
-alpha * vertical — equivalent to the formula above.)  It also freezes BN
-running-stat momentum during the second backward; in JAX there is no
-in-place stats mutation, so callers simply reuse the first forward's
-batch_stats — noted here for parity.
+Because ``.backward`` ACCUMULATES, every quantity its "primary" math touches
+is really the *total* gradient:
 
-Here the surgery is a pure function over gradient pytrees plus an optax
-wrapper, both jit-friendly.
+    ip      = <g_sec, g_tot>                                  (:36)
+    cosine  = ip / (||g_tot|| * ||g_sec|| + eps)              (:46)
+    vert    = g_sec - cosine * ||g_sec|| * g_tot / (||g_tot|| + eps)   (:53)
+    g_final = g_tot - alpha * vert      if ip > 0             (:40,54)
+    g_final = g_tot                     otherwise
+
+i.e. the surgery removes (a fraction ``alpha`` of) the component of the
+secondary gradient orthogonal to the COMBINED update direction — not, as the
+paper-idealised form would have it, orthogonal to the primary gradient alone.
+``mld_combine`` reproduces the executed semantics exactly; it is golden-tested
+against the reference optimizer run under torch (tests/goldens/mld.npz).
+
+Norms follow reference ``_grad_norm`` (:68-85): a single global L2 norm over
+all parameters (the reference reads only ``param_groups[0]``, but its trainers
+always build a single param group, so global == group-0).
+
+BatchNorm note: the reference freezes BN running-stat momentum between the two
+backwards (:87-99).  No forward runs between them, so stats still update
+exactly once per step — which is what our single-forward/two-vjp structure
+does naturally; nothing to replicate.
+
+The gate ``ip > 0`` fires whenever <g_sec, g_sec + g_pri> > 0; since that
+inner product contains ||g_sec||^2 it is almost always positive in practice —
+another consequence of the accumulation that the executed-semantics golden
+pins down.
 """
 from typing import NamedTuple
 
@@ -34,19 +53,19 @@ def _inner(tree_a, tree_b):
 
 
 def mld_combine(primary_grads, secondary_grads, alpha, eps=1e-12):
-    """Combine the two gradient trees with the reference's decomposition."""
-    ip = _inner(secondary_grads, primary_grads)
-    pri_norm = _global_norm(primary_grads)
+    """Combine two gradient trees exactly as the reference optimizer executes
+    (accumulated-gradient semantics; see module docstring)."""
+    total = jax.tree_util.tree_map(jnp.add, primary_grads, secondary_grads)
+    ip = _inner(secondary_grads, total)
+    tot_norm = _global_norm(total)
     sec_norm = _global_norm(secondary_grads)
-    cosine = ip / (pri_norm * sec_norm + eps)
+    cosine = ip / (tot_norm * sec_norm + eps)
 
-    def combine(gp, gs):
-        vertical = gs - cosine * sec_norm * gp / (pri_norm + eps)
-        corrected = gp + gs - alpha * vertical
-        plain = gp + gs
-        return jnp.where(ip > 0, corrected, plain)
+    def combine(gt, gs):
+        vertical = gs - cosine * sec_norm * gt / (tot_norm + eps)
+        return jnp.where(ip > 0, gt - alpha * vertical, gt)
 
-    return jax.tree_util.tree_map(combine, primary_grads, secondary_grads)
+    return jax.tree_util.tree_map(combine, total, secondary_grads)
 
 
 class MLDState(NamedTuple):

@@ -53,7 +53,8 @@ class SupervisedTrainer(BaseTrainer):
 
             def loss_fn(params):
                 (preds, _), new_bs = forward_heatmaps(
-                    model, params, state.batch_stats, view.images, True, dtype)
+                    model, params, state.batch_stats, view.images, True, dtype,
+                    remat=cfg.remat)
                 s, n = L.joint_mse(preds, view.heatmaps)
                 loss = pose_weight * jnp.where(n > 0, s / jnp.maximum(n, 1), s)
                 return loss, (new_bs, n)
