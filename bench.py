@@ -35,23 +35,37 @@ BENCH_FOLD = os.environ.get("UBPL_BENCH_FOLD", "0") == "1"
 # unset = Config auto (unroll at bs>=16); "1"/"0" force on/off for A/B
 _unroll_env = os.environ.get("UBPL_BENCH_UNROLL")
 BENCH_UNROLL = None if _unroll_env is None else _unroll_env == "1"
+# remat the training forward (Config.remat) — targets bs>=64 activation
+# memory pressure; set UBPL_BENCH_REMAT=1 to A/B
+BENCH_REMAT = os.environ.get("UBPL_BENCH_REMAT", "0") == "1"
 
 
-def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS, scan=BENCH_SCAN):
+_UNSET = object()
+
+
+def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS, scan=BENCH_SCAN,
+                 fuse=None, fold=None, unroll=_UNSET, remat=None):
+    """Measure the MT_UBPL train step (img/s).  Knobs default to the
+    UBPL_BENCH_* env settings; tools/autotune.py passes them explicitly."""
     import numpy as np
     import jax
     import jax.numpy as jnp
     from ubpl_tpu.config import Config
     from ubpl_tpu.train.mt_ubpl import MTUBPLTrainer
 
+    fuse = BENCH_FUSE if fuse is None else fuse
+    fold = BENCH_FOLD if fold is None else fold
+    unroll = BENCH_UNROLL if unroll is _UNSET else unroll
+    remat = BENCH_REMAT if remat is None else remat
     cfg = Config(model="HG3", synthetic_data=True, synthetic_kps=9,
                  inp_res=256, out_res=64,
                  train_count=max(4 * batch_size, 64),
                  valid_count=8, label_ratio=0.5,
                  train_bs=batch_size, train_bs_labeled=batch_size // 2,
                  infer_bs=8, epochs=1, compute_dtype="bfloat16",
-                 scan_batches=scan, fuse_teacher_forward=BENCH_FUSE,
-                 fold_views=BENCH_FOLD, unroll_branches=BENCH_UNROLL)
+                 scan_batches=scan, fuse_teacher_forward=fuse,
+                 fold_views=fold, unroll_branches=unroll,
+                 remat=remat)
     cfg.pck_ref = (1, 2)
     cfg.pck_thr = 0.2
     trainer = MTUBPLTrainer(cfg)
