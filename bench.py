@@ -38,13 +38,18 @@ BENCH_UNROLL = None if _unroll_env is None else _unroll_env == "1"
 # remat the training forward (Config.remat) — targets bs>=64 activation
 # memory pressure; set UBPL_BENCH_REMAT=1 to A/B
 BENCH_REMAT = os.environ.get("UBPL_BENCH_REMAT", "0") == "1"
+# stream_data (host-resident training set, per-batch H2D with one-batch
+# prefetch) — set UBPL_BENCH_STREAM=1 to measure the streaming path's
+# overhead vs the HBM-resident gather (quantifies the prefetch overlap)
+BENCH_STREAM = os.environ.get("UBPL_BENCH_STREAM", "0") == "1"
 
 
 _UNSET = object()
 
 
 def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS, scan=BENCH_SCAN,
-                 fuse=None, fold=None, unroll=_UNSET, remat=None):
+                 fuse=None, fold=None, unroll=_UNSET, remat=None,
+                 stream=None):
     """Measure the MT_UBPL train step (img/s).  Knobs default to the
     UBPL_BENCH_* env settings; tools/autotune.py passes them explicitly."""
     import numpy as np
@@ -57,6 +62,9 @@ def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS, scan=BENCH_SCAN,
     fold = BENCH_FOLD if fold is None else fold
     unroll = BENCH_UNROLL if unroll is _UNSET else unroll
     remat = BENCH_REMAT if remat is None else remat
+    stream = BENCH_STREAM if stream is None else stream
+    if stream:
+        scan = 1   # stream_data excludes scan_batches>1
     cfg = Config(model="HG3", synthetic_data=True, synthetic_kps=9,
                  inp_res=256, out_res=64,
                  train_count=max(4 * batch_size, 64),
@@ -65,7 +73,7 @@ def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS, scan=BENCH_SCAN,
                  infer_bs=8, epochs=1, compute_dtype="bfloat16",
                  scan_batches=scan, fuse_teacher_forward=fuse,
                  fold_views=fold, unroll_branches=unroll,
-                 remat=remat)
+                 remat=remat, stream_data=stream)
     cfg.pck_ref = (1, 2)
     cfg.pck_thr = 0.2
     trainer = MTUBPLTrainer(cfg)
@@ -83,6 +91,16 @@ def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS, scan=BENCH_SCAN,
             return np.asarray(next(it))
 
     n_calls = (steps + scan - 1) // scan if scan > 1 else steps
+    if stream:
+        # drive the real streaming path (host gather + prefetched H2D + step)
+        idx_batches = [next_batch() for _ in range(n_calls + 1)]
+        trainer.run_train_steps(iter(idx_batches[:1]), *args)   # compile
+        jax.block_until_ready(trainer.state)
+        t0 = time.perf_counter()
+        trainer.run_train_steps(iter(idx_batches[1:]), *args)
+        jax.block_until_ready(trainer.state)
+        dt = time.perf_counter() - t0
+        return batch_size * n_calls / dt
     if scan > 1:
         batches = [jnp.asarray(np.stack([next_batch() for _ in range(scan)]))
                    for _ in range(n_calls + 1)]

@@ -80,6 +80,41 @@ def test_unroll_branches_equivalence():
                                rtol=1e-4, atol=2.1 * lr)
 
 
+def test_stream_data_equivalence():
+    """Config.stream_data (host-resident training set, per-batch H2D with
+    one-batch prefetch) must compute exactly what the resident-gather path
+    computes: identical batch values enter the same step math, only the
+    delivery differs.  Same synthetic seed -> identical arrays on both
+    sides."""
+    import numpy as onp
+    t_res = SupervisedTrainer(_cfg())
+    t_str = SupervisedTrainer(_cfg(stream_data=True))
+    assert t_str.train_data is None and t_str.train_host is not None
+    idxs = onp.arange(4)
+    s1, m1 = t_res.train_step(t_res.state, jnp.asarray(idxs), 1)
+    host = t_str.train_host
+    batch = tuple(jnp.asarray(x) for x in
+                  (host.images[idxs], host.kps[idxs], host.islabeled[idxs]))
+    s2, m2 = t_str.train_step(t_str.state, batch, 1)
+    np.testing.assert_allclose(np.asarray(m1["pec_loss"]),
+                               np.asarray(m2["pec_loss"]),
+                               rtol=1e-5, atol=1e-7)
+    lr = t_res.cfg.lr
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p2 = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=1e-4, atol=2.1 * lr)
+    # the epoch driver (prefetching iterator) must run end-to-end
+    out = t_str.train_epoch(0)
+    assert np.isfinite(out["pec_loss"])
+
+    import pytest
+    with pytest.raises(ValueError, match="scan_batches"):
+        SupervisedTrainer(_cfg(stream_data=True, scan_batches=8))
+    with pytest.raises(ValueError, match="pseudo_rounds"):
+        MTUBPLTrainer(_cfg(stream_data=True, pseudo_rounds=1))
+
+
 def test_remat_equivalence():
     """Config.remat (jax.checkpoint around the training forward) must not
     change the math: the forward is the identical program, the backward

@@ -126,6 +126,16 @@ class Config:
                                         # 4-group grouped convs run ~40%
                                         # under the 2-group ones (78 vs 133
                                         # img/s at bs=32) — default off.
+    stream_data: bool = False           # keep the TRAINING set host-resident
+                                        # and stream each batch to HBM with a
+                                        # one-batch prefetch (batch i+1's H2D
+                                        # overlaps step i's compute) instead
+                                        # of staging the whole set in HBM —
+                                        # for datasets larger than per-chip
+                                        # HBM.  Validation stays resident.
+                                        # Incompatible with scan_batches>1
+                                        # and pseudo_rounds>0 (both gather
+                                        # from the resident set)
     remat: bool = False                 # jax.checkpoint the training forward:
                                         # backward recomputes activations
                                         # instead of holding them in HBM —

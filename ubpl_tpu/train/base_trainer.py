@@ -44,6 +44,15 @@ class BaseTrainer:
                 "optimizer='mld' needs a primary/secondary loss split; "
                 f"{self.regime} has a single loss group "
                 "(supported: MT_UBPL, DualPose_UBPL)")
+        if cfg.stream_data and cfg.scan_batches > 1:
+            raise ValueError(
+                "stream_data streams one batch per device call; "
+                "scan_batches>1 gathers from the device-resident dataset "
+                "inside lax.scan — pick one")
+        if cfg.stream_data and cfg.pseudo_rounds > 0:
+            raise ValueError(
+                "pseudo_rounds runs UBPL selection over the device-resident "
+                "training set; stream_data keeps it on host — pick one")
         self.cfg = cfg
         self.logger = logger or Logger(f"{cfg.data_source}_{self.regime}")
         self.mesh = mesh
@@ -82,7 +91,7 @@ class BaseTrainer:
         self.n_train = len(semi.semi_train)
         self.n_valid = len(semi.valid)
         sharding, mult = self._dataset_sharding()
-        self.train_data = put_dataset(
+        self._place_train(
             pad_to_multiple(materialize(semi.semi_train, cfg.inp_res,
                                         cfg.io_workers), mult),
             semi.means, sharding)
@@ -93,6 +102,19 @@ class BaseTrainer:
         self.rng = np.random.default_rng(cfg.seed)
         self.means = jnp.asarray(semi.means, jnp.float32)
         self._setup_occluders()
+
+    def _place_train(self, arrays, means, sharding):
+        """Training-set placement: HBM-resident (default; per-step batch
+        gathers happen inside the jitted step) or host-resident with
+        per-batch streaming (Config.stream_data — for datasets larger than
+        per-chip HBM; run_train_steps prefetches batch i+1's H2D transfer
+        under step i's compute)."""
+        if self.cfg.stream_data:
+            self.train_host = arrays
+            self.train_data = None
+        else:
+            self.train_host = None
+            self.train_data = put_dataset(arrays, means, sharding)
 
     def _dataset_sharding(self):
         """HBM layout for the device-resident dataset: sample axis sharded
@@ -147,8 +169,7 @@ class BaseTrainer:
         self.n_train, self.n_valid = n_train, n_valid
         means = [0.5, 0.5, 0.5]
         sharding, mult = self._dataset_sharding()
-        self.train_data = put_dataset(pad_to_multiple(train, mult), means,
-                                      sharding)
+        self._place_train(pad_to_multiple(train, mult), means, sharding)
         self.valid_data = put_dataset(pad_to_multiple(make(n_valid), mult),
                                       means, sharding)
         self.rng = np.random.default_rng(cfg.seed)
@@ -321,20 +342,67 @@ class BaseTrainer:
 
             self.train_scan_step = jax.jit(scan_step, donate_argnums=donate)
 
+    def fetch_batch(self, data, batch):
+        """Per-step data entry inside the jitted step.  Resident mode: `batch`
+        is the index vector, gathered from the HBM dataset.  stream_data:
+        `batch` is the already-transferred (images, kps, islabeled) triple."""
+        if self.cfg.stream_data:
+            imgs, kps, islabeled = batch
+            return (self.constrain_batch(imgs), self.constrain_batch(kps),
+                    islabeled)
+        return (self.constrain_batch(data.images[batch]),
+                self.constrain_batch(data.kps[batch]),
+                data.islabeled[batch])
+
+    def _batch_put(self):
+        """H2D placement for streamed batches (batch dim over 'data')."""
+        if self.mesh is not None and "data" in self.mesh.axis_names:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            mesh = self.mesh
+
+            def put(arrs):
+                return tuple(
+                    jax.device_put(x, NamedSharding(
+                        mesh, P("data", *([None] * (x.ndim - 1)))))
+                    for x in arrs)
+            return put
+        return lambda arrs: tuple(jnp.asarray(x) for x in arrs)
+
+    def _stream_batches(self, batch_iter):
+        """Host-gather each batch and issue its H2D transfer one batch ahead
+        of consumption, so the copy of batch i+1 overlaps step i's compute
+        (jax device_put is async)."""
+        host = self.train_host
+        put = self._batch_put()
+        pending = None
+        for idxs in batch_iter:
+            i = np.asarray(idxs)
+            nxt = put((host.images[i], host.kps[i], host.islabeled[i]))
+            if pending is not None:
+                yield pending
+            pending = nxt
+        if pending is not None:
+            yield pending
+
     def run_train_steps(self, batch_iter, *sched_args):
         """Drive one epoch's batches through train_step (and the scan variant
         for full k-chunks).  Returns per-step metric dicts; host sync is
         deferred to the caller's reduction (keeps the device queue full)."""
         k = self.cfg.scan_batches
         raw = []
+        stream = self.cfg.stream_data
 
-        def plain(idxs):
+        def plain(batch):
             self._step_num += 1
-            self.state, m = self.train_step(self.state, jnp.asarray(idxs),
-                                            self._step_num, *sched_args)
+            self.state, m = self.train_step(
+                self.state, batch if stream else jnp.asarray(batch),
+                self._step_num, *sched_args)
             raw.append((m, 0))
 
-        if k <= 1 or self.train_scan_step is None:
+        if stream:
+            for batch in self._stream_batches(batch_iter):
+                plain(batch)
+        elif k <= 1 or self.train_scan_step is None:
             for idxs in batch_iter:
                 plain(idxs)
         else:
@@ -588,8 +656,12 @@ class BaseTrainer:
         from .common import make_view
         cfg = self.cfg
         idxs = np.asarray(self.labeled_idxs[:min(4, len(self.labeled_idxs))])
-        imgs = self.train_data.images[jnp.asarray(idxs)]
-        kps = self.train_data.kps[jnp.asarray(idxs)]
+        if self.train_data is not None:
+            imgs = self.train_data.images[jnp.asarray(idxs)]
+            kps = self.train_data.kps[jnp.asarray(idxs)]
+        else:   # stream_data: gather from the host-resident arrays
+            imgs = jnp.asarray(self.train_host.images[idxs])
+            kps = jnp.asarray(self.train_host.kps[idxs])
         view = make_view(jax.random.PRNGKey(cfg.seed + epo), imgs, kps,
                          jnp.zeros(3), cfg, augment=True)
         ids = [str(i) for i in idxs]

@@ -74,9 +74,7 @@ class DualPoseUBPLTrainer(BaseTrainer):
         def step(state: DualState, idxs, step_num, cons_weight, fdl_weight,
                  pseudo_weight, ema_alpha):
             rng = jax.random.fold_in(base_key, step_num)
-            imgs = self.constrain_batch(data.images[idxs])
-            kps = self.constrain_batch(data.kps[idxs])
-            islabeled = data.islabeled[idxs]
+            imgs, kps, islabeled = self.fetch_batch(data, idxs)
             sw_pos, sw_nega, sw_cons = self.sample_weights(islabeled,
                                                            pseudo_weight)
             # student view: full augmentation; teacher view: weak (DS_mt)

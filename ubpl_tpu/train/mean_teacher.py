@@ -68,9 +68,7 @@ class MeanTeacherTrainer(BaseTrainer):
 
         def step(state: MTState, idxs, step_num, cons_weight, ema_alpha):
             rng = jax.random.fold_in(base_key, step_num)
-            imgs = self.constrain_batch(data.images[idxs])
-            kps = self.constrain_batch(data.kps[idxs])
-            islabeled = data.islabeled[idxs]
+            imgs, kps, islabeled = self.fetch_batch(data, idxs)
             sw_pos, _, _ = self.sample_weights(islabeled, 0.0)
             views = [make_view(jax.random.fold_in(rng, a), imgs, kps, means,
                                cfg, augment=True,

@@ -97,9 +97,7 @@ class MTUBPLTrainer(BaseTrainer):
         def step(state: DualState, idxs, step_num, cons_weight, fdl_weight,
                  pseudo_weight, ema_alpha):
             rng = jax.random.fold_in(base_key, step_num)
-            imgs = self.constrain_batch(data.images[idxs])
-            kps = self.constrain_batch(data.kps[idxs])
-            islabeled = data.islabeled[idxs]
+            imgs, kps, islabeled = self.fetch_batch(data, idxs)
             sw_pos, sw_nega, _ = self.sample_weights(islabeled, pseudo_weight)
             views = [make_view(jax.random.fold_in(rng, a), imgs, kps, means,
                                cfg, augment=True,

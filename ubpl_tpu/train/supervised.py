@@ -47,8 +47,7 @@ class SupervisedTrainer(BaseTrainer):
 
         def step(state: TrainState, idxs, step_num):
             rng = jax.random.fold_in(base_key, step_num)
-            imgs = self.constrain_batch(data.images[idxs])
-            kps = self.constrain_batch(data.kps[idxs])
+            imgs, kps, _ = self.fetch_batch(data, idxs)
             view = make_view(rng, imgs, kps, means, cfg, augment=True)
 
             def loss_fn(params):
