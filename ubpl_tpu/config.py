@@ -97,6 +97,11 @@ class Config:
     pseudo_reliable_pct: float = 0.5
     pseudo_aug_views: int = 2
 
+    # migration: path to a reference ckpts/checkpoint[_best].pth.tar — the
+    # trainer starts from its weights (models/torch_import.py; dual regimes
+    # import both branches + EMA teachers) instead of fresh init
+    torch_init: str = ""
+
     # misc
     seed: int = 1388
     debug: bool = False

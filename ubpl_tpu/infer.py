@@ -86,6 +86,27 @@ class PoseEstimator:
                                                  batch_stats)
         return cls(net, params, batch_stats, means, cfg)
 
+    @classmethod
+    def from_torch_checkpoint(cls, path, model="HG3", kps_count=9,
+                              feature_mode="AvgPool", means=(0., 0., 0.),
+                              head="ema", branch: int = 1, **cfg_kw):
+        """Serve a REFERENCE-trained checkpoint (ckpts/checkpoint[_best]
+        .pth.tar from any reference regime) directly: the torch state_dict
+        is imported into the flax hourglass (models/torch_import.py).
+        branch: 1 or 2 for the dual-network regimes; head="ema" uses the
+        EMA teacher (what the reference validates and selects on)."""
+        from .models.torch_import import load_reference_checkpoint
+        n_stack = int(model[2:]) if model.startswith("HG") else 3
+        params, batch_stats, _ = load_reference_checkpoint(
+            path, n_stack=n_stack, mode=feature_mode, branch=branch,
+            head=head)
+        cfg = Config(model=model, feature_mode=feature_mode, **cfg_kw)
+        cfg.kps_count = kps_count
+        net = create_pose_model(model, kps_count, feature_mode,
+                                dtype=jnp.bfloat16
+                                if cfg.compute_dtype == "bfloat16" else None)
+        return cls(net, params, batch_stats, means, cfg)
+
     def _chunks(self, images_u8):
         bs = self.batch_size
         for i in range(0, images_u8.shape[0], bs):

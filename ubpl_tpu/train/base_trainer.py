@@ -58,6 +58,14 @@ class BaseTrainer:
         self.mesh = mesh
         self._setup_data()
         self._setup_model()
+        if cfg.torch_init:
+            from ..models.torch_import import warm_start_trainer
+            meta = warm_start_trainer(self, cfg.torch_init)
+            self.logger.print(
+                "L1", "=> warm start from reference checkpoint {} "
+                "(epoch {}, {})".format(cfg.torch_init,
+                                        meta["current_epoch"],
+                                        meta["source_key"]))
         if mesh is not None:
             self._shard_for_mesh()
         self._build_steps()
