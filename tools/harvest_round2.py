@@ -26,7 +26,12 @@ def _epochs(log_dir):
 
 
 def harvest_ref_mt_ubpl():
-    dirs = sorted(glob.glob("/tmp/ref_expr/*MT_UBPL*"))
+    # pick the TRAINING run's dir: the one with the most epoch logs — other
+    # tools (e.g. ref_eval_ours.py) create newer 1-epoch eval-only dirs in
+    # the same root, and "newest" would clobber the parity table with them
+    dirs = sorted(glob.glob("/tmp/ref_expr/*MT_UBPL*"),
+                  key=lambda d: len(_epochs(os.path.join(d, "logs",
+                                                         "logData"))))
     if not dirs:
         return
     exp = dirs[-1]
