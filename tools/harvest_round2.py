@@ -25,16 +25,19 @@ def _epochs(log_dir):
     return out
 
 
-def harvest_ref_mt_ubpl():
+def harvest_ref_dual(regime="mt_ubpl"):
     # pick the TRAINING run's dir: the one with the most epoch logs — other
     # tools (e.g. ref_eval_ours.py) create newer 1-epoch eval-only dirs in
     # the same root, and "newest" would clobber the parity table with them
-    dirs = sorted(glob.glob("/tmp/ref_expr/*MT_UBPL*"),
+    pat = ("*_MT_UBPL_*" if regime == "mt_ubpl" else "*_DualPose_UBPL_*")
+    dirs = sorted(glob.glob(f"/tmp/ref_expr/{pat}"),
                   key=lambda d: len(_epochs(os.path.join(d, "logs",
                                                          "logData"))))
     if not dirs:
         return
     exp = dirs[-1]
+    if not _epochs(os.path.join(exp, "logs", "logData")):
+        return      # startup-only dir (no completed epochs) — nothing to pin
     per = {}
     for e, d in sorted(_epochs(os.path.join(exp, "logs", "logData")).items()):
         accs = d["accsArraies"][-1]      # ensemble-mean head
@@ -45,15 +48,15 @@ def harvest_ref_mt_ubpl():
             entry["err_mean"] = d["errsArraies"][-1][-1]
             entry["pck_per_joint"] = accs[:-1]
         per[str(e)] = entry
-    out = {"regime": "mt_ubpl", "split": "Mouse_100_500_0.3", "valid_n": 500,
+    out = {"regime": regime, "split": "Mouse_100_500_0.3", "valid_n": 500,
            "source": "reference run via tools/ref_run.py (torch CPU, full "
                      "500-image validation every 5 epochs; epochs bounded by "
                      "wall clock on this 1-core host — see TODO.md)",
            "experiment": os.path.basename(exp), "per_epoch": per}
-    with open(os.path.join(REPO, "PARITY_ref_mt_ubpl.json"), "w") as f:
+    with open(os.path.join(REPO, f"PARITY_ref_{regime}.json"), "w") as f:
         json.dump(out, f, indent=1)
     full = sorted(int(e) for e, v in per.items() if "pck_mean" in v)
-    print("ref mt_ubpl: epochs", len(per), "full-valid", full)
+    print(f"ref {regime}: epochs", len(per), "full-valid", full)
 
 
 def harvest_ours_mt_ubpl():
@@ -92,7 +95,8 @@ def harvest_demo(regime):
 
 
 if __name__ == "__main__":
-    harvest_ref_mt_ubpl()
+    harvest_ref_dual("mt_ubpl")
+    harvest_ref_dual("dualpose_ubpl")
     harvest_ours_mt_ubpl()
     harvest_demo("dualpose_ubpl")
     harvest_demo("mt")

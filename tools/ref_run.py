@@ -22,7 +22,8 @@ Environment adaptations (behavior-preserving):
   epoch (pure wall-clock concession on this 1-core host; validation has no
   effect on training dynamics). Skipped epochs record zeros.
 
-Usage: python tools/ref_run.py {supervised|mt_ubpl} [epochs] [eval_every]
+Usage: python tools/ref_run.py {supervised|mt_ubpl|dualpose_ubpl}
+       [epochs] [eval_every]
 """
 import json
 import os
@@ -153,8 +154,15 @@ def main():
         mod.exec("Supervised", {"dataSource": "Mouse", "trainCount": 100,
                                 "validCount": 500, "labelRatio": 0.3,
                                 "epochs": epochs})
-    elif regime == "mt_ubpl":
-        from projects import MT_UBPL as mod
+    elif regime in ("mt_ubpl", "dualpose_ubpl"):
+        # MT_UBPL and DualPose_UBPL share train/validate signatures
+        # (projects/MT_UBPL.py:157,355 vs projects/DualPose_UBPL.py:156,298):
+        # train -> (pec, mtc, epc lists, fdc scalar), validate -> 3 heads
+        # (two teachers + ensemble mean), so one wrapper drives both.
+        if regime == "mt_ubpl":
+            from projects import MT_UBPL as mod
+        else:
+            from projects import DualPose_UBPL as mod
         k_plus1 = 10
 
         # Optional cross-round resume: REF_RESUME=<checkpoint.pth.tar>.
@@ -239,9 +247,15 @@ def main():
                     [[0.0] * k_plus1 for _ in range(n)])
 
         mod.validate = validate
-        mod.exec("MT_UBPL", {"dataSource": "Mouse", "trainCount": 100,
-                             "validCount": 500, "labelRatio": 0.3,
-                             "epochs": epochs})
+        base = {"dataSource": "Mouse", "trainCount": 100,
+                "validCount": 500, "labelRatio": 0.3, "epochs": epochs}
+        if regime == "mt_ubpl":
+            mod.exec("MT_UBPL", base)
+        else:
+            # exec_home's DualPose_UBPL cell (projects/exec.py:24-25)
+            mod.exec("DualPose_UBPL", {**base, "FDLWeight_max": 1.0,
+                                       "FDLWeight_min": 1.0,
+                                       "useEnsemblePseudo": True})
     else:
         raise SystemExit(f"unknown regime {regime}")
 
