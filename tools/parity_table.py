@@ -15,10 +15,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_EXPR = os.environ.get("UBPL_REF_EXPR", "/tmp/ref_expr")
 
 
-def ref_epochwise(mark):
-    """{epoch: pck_mean} from the newest reference experiment of `mark`,
-    full-valid epochs only (ref_run zeroes skipped epochs)."""
-    dirs = sorted(glob.glob(os.path.join(REF_EXPR, f"*_{mark}_*")))
+def ref_epochwise(mark, regime):
+    """{epoch: pck_mean} for the reference run.  Prefers the committed
+    PARITY_ref_{regime}.json artifact (written by tools/harvest_round2.py,
+    which selects the TRAINING dir — eval-only tools create newer 1-epoch
+    dirs under the same root); falls back to scanning /tmp/ref_expr and
+    picking the dir with the MOST epoch logs, never just the newest name."""
+    art = os.path.join(REPO, f"PARITY_ref_{regime}.json")
+    if os.path.exists(art):
+        with open(art) as f:
+            d = json.load(f)
+        out = {int(e): v["pck_mean"] for e, v in d["per_epoch"].items()
+               if "pck_mean" in v}
+        if out:
+            return out, d.get("experiment")
+
+    def n_epochs(d):
+        return len(glob.glob(os.path.join(d, "logs", "logData", "*.json")))
+    dirs = sorted(glob.glob(os.path.join(REF_EXPR, f"*_{mark}_*")),
+                  key=n_epochs)
     if not dirs:
         return {}, None
     exp = dirs[-1]
@@ -31,7 +46,7 @@ def ref_epochwise(mark):
         pck = accs[-1]
         if pck > 0:
             out[epo] = pck
-    return out, exp
+    return out, os.path.basename(exp)
 
 
 def ours_epochwise(regime):
@@ -67,9 +82,13 @@ def table(title, ref, ours, ref_exp):
 
 def main():
     print("## Quality gate: Mouse 100/0.3, full 500-image validation\n")
-    for mark, regime in (("Supervised", "supervised"), ("MT_UBPL", "mt_ubpl")):
-        ref, exp = ref_epochwise(mark)
+    for mark, regime in (("Supervised", "supervised"),
+                         ("MT_UBPL", "mt_ubpl"),
+                         ("DualPose_UBPL", "dualpose_ubpl")):
+        ref, exp = ref_epochwise(mark, regime)
         ours = ours_epochwise(regime)
+        if not ref and not ours:
+            continue
         print(table(f"{mark}", ref, ours, exp))
         print()
 
