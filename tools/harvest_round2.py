@@ -25,12 +25,18 @@ def _epochs(log_dir):
     return out
 
 
+REF_EXPR = os.environ.get(
+    "UBPL_REF_EXPR",
+    os.path.join(os.environ.get("UBPL_REF_EXPR_ROOT", "/root/repo/.refrun"),
+                 "ref_expr"))
+
+
 def harvest_ref_dual(regime="mt_ubpl"):
     # pick the TRAINING run's dir: the one with the most epoch logs — other
     # tools (e.g. ref_eval_ours.py) create newer 1-epoch eval-only dirs in
     # the same root, and "newest" would clobber the parity table with them
     pat = ("*_MT_UBPL_*" if regime == "mt_ubpl" else "*_DualPose_UBPL_*")
-    dirs = sorted(glob.glob(f"/tmp/ref_expr/{pat}"),
+    dirs = sorted(glob.glob(os.path.join(REF_EXPR, pat)),
                   key=lambda d: len(_epochs(os.path.join(d, "logs",
                                                          "logData"))))
     if not dirs:
@@ -53,7 +59,17 @@ def harvest_ref_dual(regime="mt_ubpl"):
                      "500-image validation every 5 epochs; epochs bounded by "
                      "wall clock on this 1-core host — see TODO.md)",
            "experiment": os.path.basename(exp), "per_epoch": per}
-    with open(os.path.join(REPO, f"PARITY_ref_{regime}.json"), "w") as f:
+    # never shrink the committed artifact: /tmp wipes can leave a fresh
+    # restart with fewer epochs than an earlier harvested run
+    art = os.path.join(REPO, f"PARITY_ref_{regime}.json")
+    if os.path.exists(art):
+        with open(art) as f:
+            old = json.load(f)
+        if len(old.get("per_epoch", {})) > len(per):
+            print(f"ref {regime}: keeping committed artifact "
+                  f"({len(old['per_epoch'])} epochs > scanned {len(per)})")
+            return
+    with open(art, "w") as f:
         json.dump(out, f, indent=1)
     full = sorted(int(e) for e, v in per.items() if "pck_mean" in v)
     print(f"ref {regime}: epochs", len(per), "full-valid", full)

@@ -12,7 +12,10 @@ import json
 import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REF_EXPR = os.environ.get("UBPL_REF_EXPR", "/tmp/ref_expr")
+REF_EXPR = os.environ.get(
+    "UBPL_REF_EXPR",
+    os.path.join(os.environ.get("UBPL_REF_EXPR_ROOT", "/root/repo/.refrun"),
+                 "ref_expr"))
 
 
 def ref_epochwise(mark, regime):

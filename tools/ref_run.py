@@ -103,9 +103,15 @@ def main():
     sys.path.insert(0, "/root/reference")
 
     import GLOB as glob
-    glob.expr = "/tmp/ref_expr"
-    glob.temp = "/tmp/ref_temp"
-    glob.stat = "/tmp/ref_stat"
+    # /tmp is wiped across driver restarts (learned the hard way: the
+    # MT_UBPL run's resume checkpoint died with it at epoch 50).  Keep the
+    # experiment dirs — including the every-epoch checkpoint.pth.tar the
+    # reference itself writes (projects/MT_UBPL.py:103) — under the repo
+    # (gitignored) so a cross-round resume survives restarts.
+    root = os.environ.get("UBPL_REF_EXPR_ROOT", "/root/repo/.refrun")
+    glob.expr = os.path.join(root, "ref_expr")
+    glob.temp = os.path.join(root, "ref_temp")
+    glob.stat = os.path.join(root, "ref_stat")
     for d in (glob.expr, glob.temp, glob.stat):
         os.makedirs(d, exist_ok=True)
 
