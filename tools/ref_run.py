@@ -183,6 +183,14 @@ def main():
         # augmentation RNG stream differs from an uninterrupted run (it is
         # stochastic augmentation noise either way).
         resume_path = os.environ.get("REF_RESUME")
+        if not resume_path:
+            # cross-round auto-resume: tools/ref_ckpt_persist.py snapshots
+            # the live run's checkpoint into this TRACKED path each round,
+            # so the run survives the driver's workspace reset
+            cand = os.path.join("/root/repo/refckpt", regime,
+                                "checkpoint.pth.tar")
+            if os.path.exists(cand):
+                resume_path = cand
         resume_from = 0
         resume_ck = None
         if resume_path:
