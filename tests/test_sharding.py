@@ -155,3 +155,42 @@ def test_realshape_hg3_256_mesh_compile():
     # the partitioned program really spans all 8 devices
     hlo = compiled.as_text()
     assert "num_partitions=8" in hlo or compiled._executable is not None
+
+
+def test_dcn_mesh_equivalence():
+    """Multi-slice design: a ("dcn", "data") mesh shards the batch over BOTH
+    axes (outer axis = pod slice; parallel/mesh.py BATCH_AXES) and must not
+    change the math vs single-device."""
+    from jax.sharding import PartitionSpec as P
+    t_single = MTUBPLTrainer(_cfg())
+    _, m1 = _one_step(t_single)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dcn", "data"))
+    trainer = MTUBPLTrainer(_cfg(), mesh=mesh)
+    imgs = trainer.train_data.images
+    assert imgs.sharding.spec in (P(("dcn", "data")), P(("dcn", "data"),))
+    _, m2 = _one_step(trainer)
+    np.testing.assert_allclose(np.asarray(m1["pec"]), np.asarray(m2["pec"]),
+                               rtol=2e-4)
+
+
+def test_dcn_model_data_mesh():
+    """3-axis mesh: branch parallelism over 'model' inside a slice, batch
+    over ('dcn', 'data') — the full multi-slice production layout."""
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 2, 2),
+                ("dcn", "model", "data"))
+    trainer = MTUBPLTrainer(_cfg(), mesh=mesh)
+    _, m = _one_step(trainer)
+    assert np.isfinite(np.asarray(m["pec"])).all()
+
+
+def test_build_mesh_dcn_axes():
+    """build_mesh accepts a dcn axis from Config (CPU devices report no
+    slice_index, so it falls back to the plain reshape path)."""
+    from ubpl_tpu.parallel import build_mesh
+    from ubpl_tpu.parallel.mesh import batch_axes, batch_mult
+    cfg = _cfg()
+    cfg.mesh_shape, cfg.mesh_axes = (2, 4), ("dcn", "data")
+    mesh = build_mesh(cfg)
+    assert dict(mesh.shape) == {"dcn": 2, "data": 4}
+    assert batch_axes(mesh) == ("dcn", "data")
+    assert batch_mult(mesh) == 8

@@ -1,13 +1,19 @@
-"""MFU methodology (docs/PERF.md): measured FLOPs/step from the compiled
-executable's own cost analysis, divided by step time and chip peak.
+"""MFU + roofline methodology (docs/PERF.md): measured FLOPs/step and HBM
+bytes/step from the compiled executable's own cost analysis, divided by
+step time and chip peaks.
 
     python tools/mfu.py [batch_size] [steps]
 
-Prints flops/step (XLA cost_analysis), step time, achieved TFLOP/s, and MFU
-against the bf16 peak (UBPL_PEAK_TFLOPS env, default 197 = TPU v5e).  The
-cost-analysis flop count is XLA's static estimate of the optimized HLO —
-the same program that runs — so the number is reproducible from this script
-alone.
+Prints flops/step and bytes/step (XLA cost_analysis), step time, achieved
+TFLOP/s + GB/s, MFU against the bf16 peak (UBPL_PEAK_TFLOPS env, default
+197 = TPU v5e) and HBM-bandwidth utilization (UBPL_PEAK_GBPS, default 819
+= v5e).  Both cost-analysis numbers are XLA's static estimates of the
+optimized HLO — the same program that runs — so they are reproducible from
+this script alone.  The program's arithmetic intensity (flops/byte) vs the
+chip ridge point (peak_flops/peak_bw) says which roof binds: the hourglass
+family's 1x1 bottleneck convs + BN sit well below the v5e ridge (~240
+flops/byte), so the step is HBM-bandwidth-bound by construction and BW
+utilization, not MFU, is the headroom metric.
 """
 import os
 import sys
@@ -17,6 +23,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 PEAK_TFLOPS = float(os.environ.get("UBPL_PEAK_TFLOPS", "197"))
+PEAK_GBPS = float(os.environ.get("UBPL_PEAK_GBPS", "819"))
 
 
 def main(batch_size=32, steps=20):
@@ -43,6 +50,7 @@ def main(batch_size=32, steps=20):
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     flops = float(cost.get("flops", 0.0))
+    bytes_acc = float(cost.get("bytes accessed", 0.0))
 
     state = trainer.state
     for i in range(3):
@@ -55,12 +63,22 @@ def main(batch_size=32, steps=20):
     dt = (time.perf_counter() - t0) / steps
 
     tflops_sec = flops / dt / 1e12
+    gb_sec = bytes_acc / dt / 1e9
     print(f"backend={jax.default_backend()} bs={batch_size}")
     print(f"flops/step (XLA cost_analysis) = {flops:.3e}")
+    print(f"bytes/step (XLA cost_analysis) = {bytes_acc:.3e}   "
+          f"arith intensity = {flops / max(bytes_acc, 1):.0f} flops/byte "
+          f"(v5e ridge ~{1e3 * PEAK_TFLOPS / PEAK_GBPS:.0f})")
     print(f"step time = {dt * 1e3:.2f} ms   images/s = {batch_size / dt:.1f}")
     print(f"achieved = {tflops_sec:.1f} TFLOP/s   "
           f"MFU vs {PEAK_TFLOPS:.0f} TF bf16 peak = "
           f"{100 * tflops_sec / PEAK_TFLOPS:.1f}%")
+    print(f"achieved HBM = {gb_sec:.0f} GB/s   "
+          f"BW utilization vs {PEAK_GBPS:.0f} GB/s = "
+          f"{100 * gb_sec / PEAK_GBPS:.1f}%")
+    # note: 'bytes accessed' counts each fusion's operand/result traffic at
+    # HBM granularity; re-use inside a fusion is already excluded, so this
+    # is the right numerator for an HBM roofline.
 
 
 if __name__ == "__main__":

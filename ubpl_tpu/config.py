@@ -114,6 +114,11 @@ class Config:
     # TPU-native
     # mesh_shape None -> all local devices on a ("data",) axis (single-device
     # -> no mesh).  CLI strings accepted: --mesh_shape=2,4 --mesh_axes=model,data
+    # Multi-slice pods: include a "dcn" axis (e.g. --mesh_shape=2,8
+    # --mesh_axes=dcn,data) — the batch shards over ("dcn","data") and the
+    # only cross-slice traffic is the per-step gradient all-reduce; on real
+    # multi-slice hardware the axis is laid along the physical slice boundary
+    # (parallel/mesh.py:_hybrid_mesh).
     mesh_shape: Optional[Tuple[int, ...]] = None
     mesh_axes: Tuple[str, ...] = ("data",)
     compute_dtype: str = "bfloat16"     # conv/matmul compute dtype

@@ -9,6 +9,14 @@ jax.sharding.Mesh over ICI with
   * "model" — the ensemble-branch axis of the dual-network regimes
               (MT_UBPL/DualPose stack 2 students + 2 teachers on a leading
               axis; sharding it gives branch parallelism)
+  * "dcn"   — OUTER batch axis across pod slices (multi-slice pods connect
+              slices over DCN, which is far slower than ICI).  The batch dim
+              shards over ("dcn", "data") so the only cross-slice traffic is
+              the once-per-step gradient all-reduce; everything
+              bandwidth-hungry (activations, branch parallelism) stays on
+              ICI inside a slice.  On real multi-slice hardware build_mesh
+              orders devices so "dcn" coincides with the physical slice
+              boundary (mesh_utils.create_hybrid_device_mesh).
 
 No explicit psum/all_reduce calls are needed: jit + sharding annotations let
 XLA place the collectives on ICI.  Cross-replica BatchNorm is available via
@@ -76,7 +84,62 @@ def build_mesh(cfg, devices=None) -> Optional[Mesh]:
     if need > len(devices):
         raise ValueError(f"mesh_shape {shape} needs {need} devices, "
                          f"have {len(devices)}")
+    if "dcn" in axes:
+        hybrid = _hybrid_mesh(shape, axes, devices)
+        if hybrid is not None:
+            return hybrid
     return make_mesh(shape, axes, devices)
+
+
+def _hybrid_mesh(shape, axes, devices) -> Optional[Mesh]:
+    """Slice-aware device order for a mesh with a "dcn" axis.
+
+    On multi-slice hardware (devices carry distinct .slice_index), lay the
+    "dcn" axis along the physical slice boundary via
+    mesh_utils.create_hybrid_device_mesh so every other axis rides ICI.
+    Returns None when the devices are single-slice (or don't report slices,
+    e.g. the CPU test mesh) — a plain reshape is then both correct and the
+    only option."""
+    slices = {getattr(d, "slice_index", None) for d in devices}
+    if len(slices) <= 1 or None in slices:
+        return None
+    from jax.experimental import mesh_utils
+    i = axes.index("dcn")
+    per_slice = tuple(1 if a == "dcn" else s for a, s in zip(axes, shape))
+    dcn_shape = tuple(shape[i] if a == "dcn" else 1 for a in axes)
+    arr = mesh_utils.create_hybrid_device_mesh(
+        per_slice, dcn_shape, devices=devices)
+    return Mesh(arr, tuple(axes))
+
+
+#: mesh axes a batch dimension shards over, outermost first
+BATCH_AXES = ("dcn", "data")
+
+
+def batch_axes(mesh: Optional[Mesh]) -> Tuple[str, ...]:
+    """The batch-dim mesh axes present in `mesh` ("data", plus an outer
+    "dcn" on multi-slice meshes); () when unsharded."""
+    if mesh is None:
+        return ()
+    return tuple(a for a in BATCH_AXES if a in mesh.axis_names)
+
+
+def batch_mult(mesh: Optional[Mesh]) -> int:
+    """Total ways the batch dim splits (dataset/batch sizes must be
+    multiples of this)."""
+    n = 1
+    for a in batch_axes(mesh):
+        n *= mesh.shape[a]
+    return n
+
+
+def batch_spec(mesh: Optional[Mesh], ndim: int) -> P:
+    """PartitionSpec pinning dim 0 to the batch axes, rest replicated."""
+    axes = batch_axes(mesh)
+    if not axes:
+        return P()
+    first = axes[0] if len(axes) == 1 else tuple(axes)
+    return P(first, *([None] * (ndim - 1)))
 
 
 def local_mesh_size() -> int:

@@ -126,14 +126,18 @@ class BaseTrainer:
 
     def _dataset_sharding(self):
         """HBM layout for the device-resident dataset: sample axis sharded
-        over the 'data' mesh axis (each chip holds N/d samples; per-step batch
-        gathers lower to masked local gathers + a batch-sized all-reduce, NOT
-        a dataset all-gather), replicated otherwise."""
-        if self.mesh is None or "data" not in self.mesh.axis_names:
+        over the batch mesh axes ('data', plus the outer cross-slice 'dcn'
+        axis on multi-slice meshes — parallel/mesh.py): each chip holds N/d
+        samples; per-step batch gathers lower to masked local gathers + a
+        batch-sized all-reduce, NOT a dataset all-gather.  Replicated when
+        there is no batch axis."""
+        from ..parallel import mesh as pmesh
+        axes = pmesh.batch_axes(self.mesh)
+        if not axes:
             return None, 1
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        d = self.mesh.shape["data"]
-        return NamedSharding(self.mesh, P("data")), d
+        from jax.sharding import NamedSharding
+        return (NamedSharding(self.mesh, pmesh.batch_spec(self.mesh, 1)),
+                pmesh.batch_mult(self.mesh))
 
     def _setup_occluders(self):
         """Occluder bank for use_occlusion (VOC2012 harvest or synthetic)."""
@@ -313,20 +317,23 @@ class BaseTrainer:
         return fwd
 
     def constrain_batch(self, x):
-        """Inside-step hint: shard the batch dim over the 'data' axis."""
-        if self.mesh is None or "data" not in self.mesh.axis_names:
+        """Inside-step hint: shard the batch dim over the batch mesh axes
+        ('data', plus 'dcn' across slices on multi-slice meshes)."""
+        from ..parallel import mesh as pmesh
+        axes = pmesh.batch_axes(self.mesh)
+        if not axes:
             return x
-        d = self.mesh.shape["data"]
+        d = pmesh.batch_mult(self.mesh)
         if x.shape[0] % d != 0:
             raise ValueError(
-                f"global batch {x.shape[0]} is not divisible by the 'data' "
-                f"mesh axis ({d}); set train_bs to a multiple of it, shrink "
-                "the mesh (e.g. --mesh_shape=1 runs single-device, matching "
-                "the reference's small-batch configs), or see "
-                "docs/MIGRATION.md §meshes")
-        from jax.sharding import NamedSharding, PartitionSpec as P
+                f"global batch {x.shape[0]} is not divisible by the batch "
+                f"mesh axes {axes} (x{d}); set train_bs to a multiple of "
+                "it, shrink the mesh (e.g. --mesh_shape=1 runs "
+                "single-device, matching the reference's small-batch "
+                "configs), or see docs/MIGRATION.md §meshes")
+        from jax.sharding import NamedSharding
         return jax.lax.with_sharding_constraint(
-            x, NamedSharding(self.mesh, P("data", *([None] * (x.ndim - 1)))))
+            x, NamedSharding(self.mesh, pmesh.batch_spec(self.mesh, x.ndim)))
 
     # ------------------------------------------------------------- step exec
     def compile_train_step(self, step):
@@ -363,15 +370,17 @@ class BaseTrainer:
                 data.islabeled[batch])
 
     def _batch_put(self):
-        """H2D placement for streamed batches (batch dim over 'data')."""
-        if self.mesh is not None and "data" in self.mesh.axis_names:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        """H2D placement for streamed batches (batch dim over the batch mesh
+        axes — 'data', plus 'dcn' on multi-slice meshes)."""
+        from ..parallel import mesh as pmesh
+        if pmesh.batch_axes(self.mesh):
+            from jax.sharding import NamedSharding
             mesh = self.mesh
 
             def put(arrs):
                 return tuple(
                     jax.device_put(x, NamedSharding(
-                        mesh, P("data", *([None] * (x.ndim - 1)))))
+                        mesh, pmesh.batch_spec(mesh, x.ndim)))
                     for x in arrs)
             return put
         return lambda arrs: tuple(jnp.asarray(x) for x in arrs)
