@@ -56,6 +56,8 @@ def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS, scan=BENCH_SCAN,
     import jax
     import jax.numpy as jnp
     from ubpl_tpu.config import Config
+    from ubpl_tpu.utils.xla_cache import enable_compilation_cache
+    enable_compilation_cache()
     from ubpl_tpu.train.mt_ubpl import MTUBPLTrainer
 
     fuse = BENCH_FUSE if fuse is None else fuse

@@ -6,7 +6,7 @@ Writes PARITY_ours_{regime}.json at the repo root with epochwise losses and
 full-valid-set PCK (per-joint + mean), harvested from the trainer's own
 logData files.
 
-Usage: python tools/parity_run.py {supervised|mt_ubpl} [epochs]
+Usage: python tools/parity_run.py {supervised|mt_ubpl|dualpose_ubpl} [epochs]
 """
 import json
 import os
@@ -40,13 +40,21 @@ def main():
     if not resume:
         shutil.rmtree(base_path, ignore_errors=True)
 
+    extra = {}
+    if regime == "dualpose_ubpl":
+        # reference DualPose_UBPL weak-teacher-view defaults
+        # (reference projects/DualPose_UBPL.py:420-421); Config's own
+        # defaults are the MT-style 0.25/30.0
+        extra = dict(scale_range_ema=0.05, rot_range_ema=5.0)
     cfg = Config(model="HG3", data_source="Mouse", train_count=100,
                  valid_count=500, label_ratio=0.3, epochs=epochs,
-                 cache_dir=cache_dir)
+                 cache_dir=cache_dir, **extra)
     if regime == "supervised":
         from ubpl_tpu.train.supervised import SupervisedTrainer as Trainer
     elif regime == "mt_ubpl":
         from ubpl_tpu.train.mt_ubpl import MTUBPLTrainer as Trainer
+    elif regime == "dualpose_ubpl":
+        from ubpl_tpu.train.dualpose_ubpl import DualPoseUBPLTrainer as Trainer
     else:
         raise SystemExit(f"unknown regime {regime}")
 

@@ -30,6 +30,8 @@ from .ops import heatmap as HM
 class PoseEstimator:
     def __init__(self, model, params, batch_stats, means, cfg: Config,
                  batch_size: int = 32):
+        from .utils.xla_cache import enable_compilation_cache
+        enable_compilation_cache()
         self.model = model
         self.params = params
         self.batch_stats = batch_stats

@@ -36,6 +36,8 @@ class BaseTrainer:
     supports_mld = False
 
     def __init__(self, cfg: Config, logger=None, mesh=None):
+        from ..utils.xla_cache import enable_compilation_cache
+        enable_compilation_cache()
         if cfg.optimizer not in ("adamw", "mld"):
             raise ValueError(f"unknown optimizer {cfg.optimizer!r} "
                              "(adamw | mld)")
