@@ -7,13 +7,22 @@ its enable path is part of the production surface.
 import os
 
 import jax
+import pytest
 
 from ubpl_tpu.utils import xla_cache
 
 
-def test_enable_sets_cache_dir(tmp_path, monkeypatch):
-    monkeypatch.setattr(xla_cache, "_enabled", False)
+@pytest.fixture
+def clean_cache_state(monkeypatch):
+    """Reset module state and restore the process-global JAX cache dir."""
+    monkeypatch.setattr(xla_cache, "_configured_dir", None)
     monkeypatch.delenv("UBPL_NO_COMPILE_CACHE", raising=False)
+    prior = jax.config.jax_compilation_cache_dir
+    yield
+    jax.config.update("jax_compilation_cache_dir", prior)
+
+
+def test_enable_sets_cache_dir(tmp_path, monkeypatch, clean_cache_state):
     target = str(tmp_path / "xlacache")
     monkeypatch.setenv("UBPL_COMPILE_CACHE", target)
     got = xla_cache.enable_compilation_cache()
@@ -25,16 +34,25 @@ def test_enable_sets_cache_dir(tmp_path, monkeypatch):
     assert xla_cache.enable_compilation_cache() == target
 
 
-def test_env_opt_out(monkeypatch):
-    monkeypatch.setattr(xla_cache, "_enabled", False)
-    monkeypatch.setenv("UBPL_NO_COMPILE_CACHE", "1")
+def test_first_call_wins(tmp_path, monkeypatch, clean_cache_state):
+    monkeypatch.delenv("UBPL_COMPILE_CACHE", raising=False)
+    first = str(tmp_path / "first")
+    assert xla_cache.enable_compilation_cache(first) == first
+    # a later caller asking for a different dir is told the dir actually
+    # in use, not its own request
+    assert xla_cache.enable_compilation_cache(
+        str(tmp_path / "second")) == first
+    assert jax.config.jax_compilation_cache_dir == first
+
+
+@pytest.mark.parametrize("val", ["1", "true", "yes", "TRUE", "Yes"])
+def test_env_opt_out(monkeypatch, val, clean_cache_state):
+    monkeypatch.setenv("UBPL_NO_COMPILE_CACHE", val)
     assert xla_cache.enable_compilation_cache() is None
-    assert not xla_cache._enabled
+    assert xla_cache._configured_dir is None
 
 
-def test_explicit_path_wins(tmp_path, monkeypatch):
-    monkeypatch.setattr(xla_cache, "_enabled", False)
-    monkeypatch.delenv("UBPL_NO_COMPILE_CACHE", raising=False)
+def test_explicit_path_wins(tmp_path, monkeypatch, clean_cache_state):
     monkeypatch.setenv("UBPL_COMPILE_CACHE", str(tmp_path / "env"))
     explicit = str(tmp_path / "explicit")
     assert xla_cache.enable_compilation_cache(explicit) == explicit

@@ -2,12 +2,13 @@
 
 The reference trainer writes `<experiment>/ckpts/checkpoint.pth.tar` every
 epoch (reference projects/MT_UBPL.py:103, utils/base/comm.py:92-100).  The
-experiment dirs live under `.refrun/` which is gitignored — and the driver
-resets the workspace to the committed git state between rounds, so anything
-uncommitted dies with the round (this already killed one 50-epoch run, see
-TODO.md).  This tool snapshots the newest checkpoint into `refckpt/` —
-a tracked path — so the end-of-round commit carries it into the next round,
-where `tools/ref_run.py` auto-resumes from it.
+experiment dirs live under `.refrun/` which is gitignored; an early round
+lost a 50-epoch run when its (then /tmp-resident) checkpoint was wiped, see
+TODO.md.  This tool snapshots the newest checkpoint into
+`~/.ubpl_refckpt/<regime>/` — an untracked artifact location OUTSIDE the
+repo (a 350MB torch checkpoint must not enter git history; round-3 advisor)
+— and `tools/ref_run.py` auto-resumes from the best surviving candidate
+(.refrun itself, this snapshot, or a legacy tracked refckpt/ copy).
 
     python tools/ref_ckpt_persist.py [regime]     # default mt_ubpl
 
@@ -30,6 +31,10 @@ REF_EXPR = os.environ.get(
 
 MARKS = {"mt_ubpl": "MT_UBPL", "dualpose_ubpl": "DualPose_UBPL",
          "supervised": "Supervised"}
+
+SNAPSHOT_ROOT = os.environ.get(
+    "UBPL_REFCKPT_DIR",
+    os.path.join(os.path.expanduser("~"), ".ubpl_refckpt"))
 
 
 def _n_epochs(exp):
@@ -61,7 +66,7 @@ def snapshot(regime="mt_ubpl", quiet=False):
         if time.time() - st.st_mtime > 5:
             break
         time.sleep(2)
-    dst_dir = os.path.join(REPO, "refckpt", regime)
+    dst_dir = os.path.join(SNAPSHOT_ROOT, regime)
     os.makedirs(dst_dir, exist_ok=True)
     dst = os.path.join(dst_dir, "checkpoint.pth.tar")
     tmp = dst + ".tmp"

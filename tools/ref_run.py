@@ -183,14 +183,32 @@ def main():
         # augmentation RNG stream differs from an uninterrupted run (it is
         # stochastic augmentation noise either way).
         resume_path = os.environ.get("REF_RESUME")
-        if not resume_path:
-            # cross-round auto-resume: tools/ref_ckpt_persist.py snapshots
-            # the live run's checkpoint into this TRACKED path each round,
-            # so the run survives the driver's workspace reset
-            cand = os.path.join("/root/repo/refckpt", regime,
-                                "checkpoint.pth.tar")
-            if os.path.exists(cand):
-                resume_path = cand
+        if resume_path == "none":   # explicit fresh start
+            resume_path = None
+        elif not resume_path:
+            # cross-round auto-resume, best candidate first:
+            # 1. a prior experiment dir's own checkpoint under .refrun
+            #    (gitignored but observed to survive round transitions),
+            # 2. the tools/ref_ckpt_persist.py snapshot in the home dir
+            #    (untracked artifact location — keeps 350MB checkpoints out
+            #    of git history, per round-3 advisor),
+            # 3. the legacy tracked refckpt/ path (removed from the index
+            #    in round 4, still honored if a checkout carries one).
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from ref_ckpt_persist import training_dir, SNAPSHOT_ROOT
+            prior = training_dir(regime)
+            cands = []
+            if prior:
+                cands.append(os.path.join(prior, "ckpts",
+                                          "checkpoint.pth.tar"))
+            cands.append(os.path.join(SNAPSHOT_ROOT, regime,
+                                      "checkpoint.pth.tar"))
+            cands.append(os.path.join("/root/repo/refckpt", regime,
+                                      "checkpoint.pth.tar"))
+            for cand in cands:
+                if os.path.exists(cand):
+                    resume_path = cand
+                    break
         resume_from = 0
         resume_ck = None
         if resume_path:

@@ -6,8 +6,10 @@ classification | bench | preview
 `classification` drives the CIFAR branch, `--mode=supervised|mt|mt_ubpl`;
 `bench` prints the one-line throughput JSON).
 
-Keys map to ubpl_tpu.config.Config fields (or reference argparse aliases),
-e.g.:
+`--platform=cpu|tpu` pins the JAX backend (the TPU plugin otherwise
+overrides JAX_PLATFORMS; cpu is useful for smoke runs while the chip is
+owned by a long job).  Other keys map to ubpl_tpu.config.Config fields
+(or reference argparse aliases), e.g.:
     python -m ubpl_tpu mt_ubpl --data_source=Mouse --train_count=100 \
         --label_ratio=0.3 --epochs=100 --mesh_shape=2,4 --mesh_axes=model,data
 """
@@ -36,6 +38,14 @@ def main():
         return 1
     regime = sys.argv[1]
     params = parse_overrides(sys.argv[2:])
+    # --platform=cpu|tpu|axon: pin the JAX backend before anything traces.
+    # The TPU plugin overrides JAX_PLATFORMS from the environment, so a
+    # config update after import is the only reliable way to force CPU
+    # (e.g. smoke-testing while the chip is owned by a long run).
+    platform = params.pop("platform", None)
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", str(platform))
     if regime == "supervised":
         from ubpl_tpu.train.supervised import exec_regime
         exec_regime("Supervised", params)

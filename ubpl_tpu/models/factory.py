@@ -5,6 +5,7 @@ The torch factory hardcodes .cuda() and mutates params for the teacher
 teacher is simply a second param pytree updated by EMA under
 jax.lax.stop_gradient — so the factory only resolves architectures.
 """
+import functools
 from typing import Optional
 
 import jax
@@ -51,9 +52,38 @@ def create_class_model(model_type: str, num_classes: int, mode: str = "AvgPool",
     raise ValueError(f"unknown classification model {model_type!r}")
 
 
+@functools.lru_cache(maxsize=32)
+def _jitted_init(model, train):
+    """One compiled XLA program per (model, train) instead of eager
+    per-op dispatch.  Un-jitted flax ``model.init`` executes hundreds of
+    tiny ops individually; over a high-latency device link (the axon
+    tunnel here) that costs minutes per HG3 init (~150 s measured, the
+    round-3 bench timeout).  Jitted it is one program — persisted by the
+    XLA compilation cache, so repeat startups are a disk read + one call.
+    flax Modules are frozen dataclasses (hashable), so they key the cache."""
+    return jax.jit(lambda rng, sample: model.init(rng, sample, train=train))
+
+
 def init_model(model, rng, sample_input, train=True):
     """Initialize (params, batch_stats) for a model on a sample batch."""
-    variables = model.init(rng, sample_input, train=train)
+    variables = _jitted_init(model, train)(rng, sample_input)
+    return variables["params"], variables.get("batch_stats", {})
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_init_stacked(model, train):
+    return jax.jit(jax.vmap(
+        lambda rng, sample: model.init(rng, sample, train=train),
+        in_axes=(0, None)))
+
+
+def init_model_stacked(model, rngs, sample_input, train=True):
+    """Initialize n stacked (branch-axis) variable sets in ONE program.
+
+    ``vmap`` over the per-branch PRNG keys is exactly ``jnp.stack`` of n
+    independent inits (same per-key initializer draws), without n separate
+    device calls + per-leaf eager stacking."""
+    variables = _jitted_init_stacked(model, train)(rngs, sample_input)
     return variables["params"], variables.get("batch_stats", {})
 
 

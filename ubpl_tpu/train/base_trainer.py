@@ -15,7 +15,8 @@ import numpy as np
 
 from ..config import Config
 from ..data import get_datasource, materialize, valid_batches
-from ..models import create_pose_model, init_model, param_count
+from ..models import (create_pose_model, init_model, init_model_stacked,
+                      param_count)
 from ..ops import heatmap as HM
 from ..ops import pck as PCK
 from ..ops import augment as A
@@ -457,19 +458,29 @@ class BaseTrainer:
                                  dtype=self.compute_dtype)
 
     def _init_n(self, model, n: Optional[int]):
-        """Init one set of variables (n=None) or n stacked sets (branch axis)."""
+        """Init one set of variables (n=None) or n stacked sets (branch axis).
+
+        Both paths are single jitted programs (models/factory.py): eager
+        flax init dispatches hundreds of tiny ops individually, which costs
+        minutes over a high-latency device link (the round-3 bench timeout
+        was exactly this)."""
         cfg = self.cfg
         sample = jnp.zeros((1, cfg.inp_res, cfg.inp_res, 3), jnp.float32)
         if n is None:
             return init_model(model, jax.random.PRNGKey(cfg.seed), sample)
-        ps, bs = [], []
-        for i in range(n):
-            p, b = init_model(model, jax.random.PRNGKey(cfg.seed + i), sample)
-            ps.append(p)
-            bs.append(b)
-        stack = lambda *xs: jnp.stack(xs)
-        return (jax.tree_util.tree_map(stack, *ps),
-                jax.tree_util.tree_map(stack, *bs))
+        rngs = jnp.stack([jax.random.PRNGKey(cfg.seed + i) for i in range(n)])
+        return init_model_stacked(model, rngs, sample)
+
+    def _jit_build_state(self, build, params, batch_stats):
+        """Construct the trainer state pytree in ONE jitted program.
+
+        Eager construction (EMA tree copies + optimizer init) dispatches
+        one tiny device op per leaf — seconds-to-minutes over a tunneled
+        device link for HG3's hundreds of leaves.  ``jnp.copy`` inside jit
+        lowers to an HLO copy, so EMA leaves keep buffers distinct from
+        the student params (the train step donates the state; aliased
+        leaves must not be donated twice)."""
+        return jax.jit(build)(params, batch_stats)
 
     def _log_model_init(self, params, label):
         self.logger.print("L1", "=> initialized {} ({}) Structure (params: {:.2f}M)"

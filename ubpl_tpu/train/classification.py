@@ -25,7 +25,8 @@ from ..config import Config
 from ..data.cifar import CIFAR10Data, CIFAR100Data
 from ..data.sampler import (TwoStreamBatchSampler, supervised_epoch_batches,
                             valid_batches)
-from ..models import create_class_model, init_model, param_count
+from ..models import (create_class_model, init_model, init_model_stacked,
+                      param_count)
 from ..utils import Logger
 from . import losses as L
 from . import schedules as S
@@ -91,20 +92,17 @@ class ClassificationTrainer:
             params, bs = init_model(self.model, jax.random.PRNGKey(cfg.seed),
                                     sample)
         else:
-            ps, bss = [], []
-            for i in range(self.n_models):
-                p, b = init_model(self.model,
-                                  jax.random.PRNGKey(cfg.seed + i), sample)
-                ps.append(p)
-                bss.append(b)
-            stack = lambda *xs: jnp.stack(xs)
-            params = jax.tree_util.tree_map(stack, *ps)
-            bs = jax.tree_util.tree_map(stack, *bss)
+            rngs = jnp.stack([jax.random.PRNGKey(cfg.seed + i)
+                              for i in range(self.n_models)])
+            params, bs = init_model_stacked(self.model, rngs, sample)
         self.tx = optax.adamw(cfg.lr, weight_decay=cfg.wd)
-        self.state = ClassState(params, bs,
-                                jax.tree_util.tree_map(jnp.copy, params),
-                                jax.tree_util.tree_map(jnp.copy, bs),
-                                self.tx.init(params))
+        tx = self.tx
+        cp = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        # one jitted program — eager per-leaf copies/optimizer init cost a
+        # device round-trip per leaf (see BaseTrainer._jit_build_state)
+        self.state = jax.jit(
+            lambda p, b: ClassState(p, b, cp(p), cp(b), tx.init(p)))(
+                params, bs)
         self.logger.print("L1", "=> initialized {} classifier (params: {:.2f}M)"
                           .format(cfg.model, param_count(params) / 1024 ** 2))
 

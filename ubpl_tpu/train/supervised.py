@@ -33,7 +33,9 @@ class SupervisedTrainer(BaseTrainer):
         self.model = self._make_model()
         params, batch_stats = self._init_n(self.model, None)
         self.tx = optax.adamw(cfg.lr, weight_decay=cfg.wd)
-        self.state = TrainState(params, batch_stats, self.tx.init(params))
+        tx = self.tx
+        self.state = self._jit_build_state(
+            lambda p, b: TrainState(p, b, tx.init(p)), params, batch_stats)
         self._log_model_init(params, "Supervised")
 
     def _build_steps(self):

@@ -13,31 +13,35 @@ table stakes for production restarts, preemption recovery
 same program many times.
 
 Env knobs:
-  UBPL_COMPILE_CACHE=<dir>   cache location (default ~/.cache/ubpl_tpu/xla)
-  UBPL_NO_COMPILE_CACHE=1    disable entirely
+  UBPL_COMPILE_CACHE=<dir>        cache location (default
+                                  ~/.cache/ubpl_tpu/xla)
+  UBPL_NO_COMPILE_CACHE=1|true|yes  disable entirely
 """
 import os
+import warnings
 
-_enabled = False
+_configured_dir = None   # dir actually in use once the first call succeeds
 
 
 def enable_compilation_cache(path=None):
     """Idempotently point JAX's persistent compilation cache at a local dir.
 
     Safe to call from multiple entry points; the first call wins.  Returns
-    the cache directory, or None when disabled (env opt-out or a jax build
-    without the feature).
+    the cache directory actually in use (the first caller's choice, even if
+    a later caller asked for a different one), or None when disabled (env
+    opt-out or a jax build without the feature).
     """
-    global _enabled
-    if os.environ.get("UBPL_NO_COMPILE_CACHE") == "1":
+    global _configured_dir
+    if os.environ.get("UBPL_NO_COMPILE_CACHE", "").lower() in (
+            "1", "true", "yes"):
         return None
+    if _configured_dir is not None:
+        return _configured_dir
     import jax
 
     path = (path or os.environ.get("UBPL_COMPILE_CACHE")
             or os.path.join(os.path.expanduser("~"), ".cache", "ubpl_tpu",
                             "xla"))
-    if _enabled:
-        return path
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
@@ -45,7 +49,11 @@ def enable_compilation_cache(path=None):
         # the default min_entry_size can skip small-but-slow programs
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except (AttributeError, ValueError, OSError):
-        return None  # older jax or read-only filesystem: run uncached
-    _enabled = True
+    except (AttributeError, ValueError, OSError) as e:
+        # run uncached, but tell the operator: a silent miss means every
+        # restart of a long TPU run pays full recompilation
+        warnings.warn(f"persistent XLA compilation cache disabled ({e!r}); "
+                      "runs will recompile on every restart", RuntimeWarning)
+        return None
+    _configured_dir = path
     return path
