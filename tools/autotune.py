@@ -47,6 +47,15 @@ def main():
     import jax
     device = str(jax.devices()[0].platform)
     out = {"device": device, "results": {}, "best": {}}
+    # merge into prior measurements so re-tuning one batch size (e.g. after
+    # a failed cell) doesn't discard the others' rows
+    path = os.path.join(REPO, "AUTOTUNE.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+        if prior.get("device") == device:
+            out["results"].update(prior.get("results", {}))
+            out["best"].update(prior.get("best", {}))
     for bs in sizes:
         rows = {}
         for label, kw in candidates(bs, full):
@@ -65,7 +74,6 @@ def main():
             best = max(ok, key=lambda k: ok[k]["img_per_s"])
             out["best"][str(bs)] = {"config": best, **ok[best]}
         out["results"][str(bs)] = rows
-    path = os.path.join(REPO, "AUTOTUNE.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print("wrote", path)
