@@ -54,25 +54,51 @@ def harvest_ref_dual(regime="mt_ubpl"):
             entry["err_mean"] = d["errsArraies"][-1][-1]
             entry["pck_per_joint"] = accs[:-1]
         per[str(e)] = entry
-    out = {"regime": regime, "split": "Mouse_100_500_0.3", "valid_n": 500,
-           "source": "reference run via tools/ref_run.py (torch CPU, full "
-                     "500-image validation every 5 epochs; epochs bounded by "
-                     "wall clock on this 1-core host — see TODO.md)",
-           "experiment": os.path.basename(exp), "per_epoch": per}
-    # never shrink the committed artifact: /tmp wipes can leave a fresh
-    # restart with fewer epochs than an earlier harvested run
+    # A cross-round RESUME creates a fresh experiment dir whose epochs below
+    # the resume point are pure stubs (ref_run.py no-ops them: zero losses,
+    # zero accs).  Merge with the committed artifact instead of replacing it:
+    # the stubbed epochs keep the earlier run's real losses/full-valid PCK,
+    # and only epochs the resumed run actually trained overwrite.
     art = os.path.join(REPO, f"PARITY_ref_{regime}.json")
+    old_per = {}
+    experiments = [os.path.basename(exp)]
     if os.path.exists(art):
         with open(art) as f:
             old = json.load(f)
-        if len(old.get("per_epoch", {})) > len(per):
-            print(f"ref {regime}: keeping committed artifact "
-                  f"({len(old['per_epoch'])} epochs > scanned {len(per)})")
-            return
+        old_per = old.get("per_epoch", {})
+        for name in ([old["experiment"]] if isinstance(
+                old.get("experiment"), str) else old.get("experiment", [])):
+            if name not in experiments:
+                experiments.insert(0, name)
+
+    def _is_stub(entry):
+        return ("pck_mean" not in entry
+                and not any(entry.get("pec_losses") or [])
+                and not any(entry.get("mtc_losses") or []))
+
+    merged = dict(old_per)
+    for e, entry in per.items():
+        if _is_stub(entry) and e in merged:
+            continue                     # skipped-on-resume epoch: keep prior
+        if "pck_mean" not in entry and "pck_mean" in merged.get(e, {}):
+            continue                     # never downgrade a full-valid point
+        merged[e] = entry
+    out = {"regime": regime, "split": "Mouse_100_500_0.3", "valid_n": 500,
+           "source": "reference run via tools/ref_run.py (torch CPU, full "
+                     "500-image validation every 5 epochs; epochs bounded by "
+                     "wall clock on this 1-core host — see TODO.md; resumed "
+                     "across rounds from its own checkpoint, so later epochs "
+                     "may come from a successor experiment dir)",
+           "experiment": experiments if len(experiments) > 1
+           else experiments[0], "per_epoch": merged}
+    if len(merged) < len(old_per):
+        print(f"ref {regime}: keeping committed artifact "
+              f"({len(old_per)} epochs > merged {len(merged)})")
+        return
     with open(art, "w") as f:
         json.dump(out, f, indent=1)
-    full = sorted(int(e) for e, v in per.items() if "pck_mean" in v)
-    print(f"ref {regime}: epochs", len(per), "full-valid", full)
+    full = sorted(int(e) for e, v in merged.items() if "pck_mean" in v)
+    print(f"ref {regime}: epochs", len(merged), "full-valid", full)
 
 
 def harvest_ref_all_runs(regime="mt_ubpl"):
