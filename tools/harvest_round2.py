@@ -31,11 +31,34 @@ REF_EXPR = os.environ.get(
                  "ref_expr"))
 
 
+# experiment-dir glob per regime ("*_MT_*" would also match MT_UBPL; the
+# timestamp digit disambiguates)
+PATTERNS = {"mt_ubpl": "*_MT_UBPL_*", "dualpose_ubpl": "*_DualPose_UBPL_*",
+            "supervised": "*_Supervised_*", "mt": "*_MT_[0-9]*"}
+
+
+def _entry_from_logdata(regime, d):
+    """Losses + (full-valid only) PCK from one reference logData epoch.
+    MT logs scalar pec_loss/mtc_loss (reference projects/MT.py:115); the
+    dual regimes log per-branch lists + epc/fdc (projects/MT_UBPL.py:117)."""
+    accs = d["accsArraies"][-1]   # selection head (ensemble mean / teacher)
+    if regime == "mt":
+        entry = {"pec_loss": d["pec_loss"], "mtc_loss": d["mtc_loss"]}
+    else:
+        entry = {"pec_losses": d["pec_losses"], "mtc_losses": d["mtc_losses"],
+                 "epc_losses": d["epc_losses"], "fdc_loss": d["fdc_loss"]}
+    if accs[-1] > 0:              # full-valid epoch (others zeroed)
+        entry["pck_mean"] = accs[-1]
+        entry["err_mean"] = d["errsArraies"][-1][-1]
+        entry["pck_per_joint"] = accs[:-1]
+    return entry
+
+
 def harvest_ref_dual(regime="mt_ubpl"):
     # pick the TRAINING run's dir: the one with the most epoch logs — other
     # tools (e.g. ref_eval_ours.py) create newer 1-epoch eval-only dirs in
     # the same root, and "newest" would clobber the parity table with them
-    pat = ("*_MT_UBPL_*" if regime == "mt_ubpl" else "*_DualPose_UBPL_*")
+    pat = PATTERNS[regime]
     dirs = sorted(glob.glob(os.path.join(REF_EXPR, pat)),
                   key=lambda d: len(_epochs(os.path.join(d, "logs",
                                                          "logData"))))
@@ -46,14 +69,7 @@ def harvest_ref_dual(regime="mt_ubpl"):
         return      # startup-only dir (no completed epochs) — nothing to pin
     per = {}
     for e, d in sorted(_epochs(os.path.join(exp, "logs", "logData")).items()):
-        accs = d["accsArraies"][-1]      # ensemble-mean head
-        entry = {"pec_losses": d["pec_losses"], "mtc_losses": d["mtc_losses"],
-                 "epc_losses": d["epc_losses"], "fdc_loss": d["fdc_loss"]}
-        if accs[-1] > 0:                 # full-valid epoch (others zeroed)
-            entry["pck_mean"] = accs[-1]
-            entry["err_mean"] = d["errsArraies"][-1][-1]
-            entry["pck_per_joint"] = accs[:-1]
-        per[str(e)] = entry
+        per[str(e)] = _entry_from_logdata(regime, d)
     # A cross-round RESUME creates a fresh experiment dir whose epochs below
     # the resume point are pure stubs (ref_run.py no-ops them: zero losses,
     # zero accs).  Merge with the committed artifact instead of replacing it:
@@ -74,7 +90,9 @@ def harvest_ref_dual(regime="mt_ubpl"):
     def _is_stub(entry):
         return ("pck_mean" not in entry
                 and not any(entry.get("pec_losses") or [])
-                and not any(entry.get("mtc_losses") or []))
+                and not any(entry.get("mtc_losses") or [])
+                and not entry.get("pec_loss")
+                and not entry.get("mtc_loss"))
 
     merged = dict(old_per)
     for e, entry in per.items():
@@ -108,9 +126,7 @@ def harvest_ref_all_runs(regime="mt_ubpl"):
     independent runs (the /tmp wipe forced a restart, TODO.md) double as a
     seed-variance measurement for the parity gate: tools/parity_variance.py
     compares run-to-run reference deltas against ours-vs-reference deltas."""
-    pat = ("*_MT_UBPL_*" if regime == "mt_ubpl" else
-           "*_DualPose_UBPL_*" if regime == "dualpose_ubpl" else
-           "*_Supervised_*")
+    pat = PATTERNS[regime]
     art = os.path.join(REPO, f"PARITY_ref_{regime}_runs.json")
     runs = {}
     if os.path.exists(art):
@@ -130,16 +146,7 @@ def harvest_ref_all_runs(regime="mt_ubpl"):
             continue        # eval-only / startup dirs
         per = {}
         for e, d in sorted(eps.items()):
-            accs = d["accsArraies"][-1]
-            entry = {"pec_losses": d["pec_losses"],
-                     "mtc_losses": d["mtc_losses"],
-                     "epc_losses": d["epc_losses"],
-                     "fdc_loss": d["fdc_loss"]}
-            if accs[-1] > 0:
-                entry["pck_mean"] = accs[-1]
-                entry["err_mean"] = d["errsArraies"][-1][-1]
-                entry["pck_per_joint"] = accs[:-1]
-            per[str(e)] = entry
+            per[str(e)] = _entry_from_logdata(regime, d)
         name = os.path.basename(exp)
         if len(per) >= len(runs.get(name, {})):
             runs[name] = per
@@ -159,8 +166,15 @@ def harvest_ref_all_runs(regime="mt_ubpl"):
               f"{len(full)} full-valid")
 
 
-def harvest_ours_mt_ubpl():
-    log_dir = "/tmp/ubpl_parity/mt_ubpl/logs/logData"
+def harvest_ours(regime="mt_ubpl"):
+    """Pin an in-progress/finished tools/parity_run.py run of any regime
+    into PARITY_ours_<regime>.json (works for wall-clock-cut runs; the tool
+    itself writes the same artifact at completion).  Never shrinks the
+    committed artifact."""
+    root = os.environ.get("UBPL_PARITY_ROOT", "/root/repo/.parityrun")
+    log_dir = os.path.join(root, regime, "logs", "logData")
+    if not os.path.isdir(log_dir):          # legacy /tmp location
+        log_dir = f"/tmp/ubpl_parity/{regime}/logs/logData"
     if not os.path.isdir(log_dir):
         return
     per = {}
@@ -170,11 +184,19 @@ def harvest_ours_mt_ubpl():
         per[str(e)]["pck_mean"] = d["accs"][-1][-1]
         per[str(e)]["err_mean"] = d["errs"][-1][-1]
         per[str(e)]["pck_per_joint"] = d["accs"][-1][:-1]
-    out = {"regime": "mt_ubpl", "epochs": len(per),
+    art = os.path.join(REPO, f"PARITY_ours_{regime}.json")
+    if os.path.exists(art):
+        with open(art) as f:
+            old = json.load(f).get("per_epoch", {})
+        if len(old) > len(per):
+            print(f"ours {regime}: keeping committed artifact "
+                  f"({len(old)} epochs > harvested {len(per)})")
+            return
+    out = {"regime": regime, "epochs": len(per),
            "split": "Mouse_100_500_0.3", "valid_n": 500, "per_epoch": per}
-    with open(os.path.join(REPO, "PARITY_ours_mt_ubpl.json"), "w") as f:
+    with open(art, "w") as f:
         json.dump(out, f, indent=1)
-    print("ours mt_ubpl: epochs", len(per),
+    print(f"ours {regime}: epochs", len(per),
           "final pck", per[str(max(map(int, per)))]["pck_mean"])
 
 
@@ -197,8 +219,11 @@ def harvest_demo(regime):
 if __name__ == "__main__":
     harvest_ref_dual("mt_ubpl")
     harvest_ref_dual("dualpose_ubpl")
+    harvest_ref_dual("mt")
     harvest_ref_all_runs("mt_ubpl")
     harvest_ref_all_runs("dualpose_ubpl")
-    harvest_ours_mt_ubpl()
+    harvest_ref_all_runs("mt")
+    for reg in ("supervised", "mt", "mt_ubpl", "dualpose_ubpl"):
+        harvest_ours(reg)
     harvest_demo("dualpose_ubpl")
     harvest_demo("mt")

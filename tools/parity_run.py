@@ -6,7 +6,12 @@ Writes PARITY_ours_{regime}.json at the repo root with epochwise losses and
 full-valid-set PCK (per-joint + mean), harvested from the trainer's own
 logData files.
 
-Usage: python tools/parity_run.py {supervised|mt_ubpl|dualpose_ubpl} [epochs]
+Usage: python tools/parity_run.py {supervised|mt|mt_ubpl|dualpose_ubpl}
+       [epochs] [--resume]
+
+The run dir defaults to a repo-local gitignored root (UBPL_PARITY_ROOT,
+default /root/repo/.parityrun) — /tmp is wiped across driver restarts and
+has already cost one full ours-side DualPose run (TODO.md).
 """
 import json
 import os
@@ -36,7 +41,8 @@ def main():
 
     from ubpl_tpu.config import Config
     cache_dir = pin_reference_split()
-    base_path = f"/tmp/ubpl_parity/{regime}"
+    root = os.environ.get("UBPL_PARITY_ROOT", "/root/repo/.parityrun")
+    base_path = os.path.join(root, regime)
     if not resume:
         shutil.rmtree(base_path, ignore_errors=True)
 
@@ -51,6 +57,8 @@ def main():
                  cache_dir=cache_dir, **extra)
     if regime == "supervised":
         from ubpl_tpu.train.supervised import SupervisedTrainer as Trainer
+    elif regime == "mt":
+        from ubpl_tpu.train.mean_teacher import MeanTeacherTrainer as Trainer
     elif regime == "mt_ubpl":
         from ubpl_tpu.train.mt_ubpl import MTUBPLTrainer as Trainer
     elif regime == "dualpose_ubpl":

@@ -29,8 +29,10 @@ REF_EXPR = os.environ.get(
     os.path.join(os.environ.get("UBPL_REF_EXPR_ROOT",
                                 os.path.join(REPO, ".refrun")), "ref_expr"))
 
-MARKS = {"mt_ubpl": "MT_UBPL", "dualpose_ubpl": "DualPose_UBPL",
-         "supervised": "Supervised"}
+# glob patterns for experiment dirs ("*_MT_*" would also match MT_UBPL —
+# the timestamp digit after the mark disambiguates)
+PATTERNS = {"mt_ubpl": "*_MT_UBPL_*", "dualpose_ubpl": "*_DualPose_UBPL_*",
+            "supervised": "*_Supervised_*", "mt": "*_MT_[0-9]*"}
 
 SNAPSHOT_ROOT = os.environ.get(
     "UBPL_REFCKPT_DIR",
@@ -44,7 +46,7 @@ def _n_epochs(exp):
 def training_dir(regime):
     """The live TRAINING experiment dir = the one with the most epoch logs
     (eval-only tools create newer near-empty dirs under the same root)."""
-    dirs = sorted(glob.glob(os.path.join(REF_EXPR, f"*_{MARKS[regime]}_*")),
+    dirs = sorted(glob.glob(os.path.join(REF_EXPR, PATTERNS[regime])),
                   key=_n_epochs)
     return dirs[-1] if dirs else None
 

@@ -22,8 +22,16 @@ Environment adaptations (behavior-preserving):
   epoch (pure wall-clock concession on this 1-core host; validation has no
   effect on training dynamics). Skipped epochs record zeros.
 
-Usage: python tools/ref_run.py {supervised|mt_ubpl|dualpose_ubpl}
+Usage: python tools/ref_run.py {supervised|mt|mt_ubpl|dualpose_ubpl}
        [epochs] [eval_every]
+
+Env knobs:
+- UBPL_REF_EXPR_ROOT: experiment root (default /root/repo/.refrun)
+- REF_RESUME: checkpoint path, or "none" for an explicit fresh start
+- REF_SEED: override the reference's hardcoded seed 1388 (reference
+  projects/MT_UBPL.py:424) for independent-seed variance runs — on this
+  CPU-only, fixed-thread-count host a same-seed rerun is deterministic, so
+  run-to-run variance MUST come from a different seed.
 """
 import json
 import os
@@ -102,6 +110,24 @@ def main():
     _install_openpyxl_stub()
     sys.path.insert(0, "/root/reference")
 
+    # Independent-seed runs: the reference hardcodes seed 1388 inside every
+    # exec() (projects/MT_UBPL.py:424-428); with CPU torch and a fixed thread
+    # count a rerun is bit-identical, so a variance run needs a real seed
+    # change.  Intercept the three seeding calls and swap 1388 for REF_SEED.
+    ref_seed = os.environ.get("REF_SEED")
+    if ref_seed:
+        import random as _random
+        new_seed = int(ref_seed)
+        _orig_rs, _orig_nps, _orig_tms = (
+            _random.seed, np.random.seed, torch.manual_seed)
+        _random.seed = lambda v=None: _orig_rs(
+            new_seed if v == 1388 else v)
+        np.random.seed = lambda v=None: _orig_nps(
+            new_seed if v == 1388 else v)
+        torch.manual_seed = lambda v: _orig_tms(
+            new_seed if v == 1388 else v)
+        print(f"[ref_run] seed override: 1388 -> {new_seed}", flush=True)
+
     import GLOB as glob
     # /tmp is wiped across driver restarts (learned the hard way: the
     # MT_UBPL run's resume checkpoint died with it at epoch 50).  Keep the
@@ -160,6 +186,92 @@ def main():
         mod.exec("Supervised", {"dataSource": "Mouse", "trainCount": 100,
                                 "validCount": 500, "labelRatio": 0.3,
                                 "epochs": epochs})
+    elif regime == "mt":
+        # plain Mean-Teacher (reference projects/MT.py): single student +
+        # EMA teacher — train(trainLoader, model, model_ema, optim, args) ->
+        # (pec, mtc) scalars (projects/MT.py:81), validate 2 heads
+        # (student, teacher) of [k+1] accs (projects/MT.py:271-318)
+        from projects import MT as mod
+        k_plus1 = 10
+
+        resume_path = os.environ.get("REF_RESUME")
+        if resume_path == "none":
+            resume_path = None
+        elif not resume_path:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from ref_ckpt_persist import training_dir, SNAPSHOT_ROOT
+            prior = training_dir(regime)
+            cands = []
+            if prior:
+                cands.append(os.path.join(prior, "ckpts",
+                                          "checkpoint.pth.tar"))
+            cands.append(os.path.join(SNAPSHOT_ROOT, regime,
+                                      "checkpoint.pth.tar"))
+            for cand in cands:
+                if os.path.exists(cand):
+                    resume_path = cand
+                    break
+        resume_from = 0
+        resume_ck = None
+        if resume_path:
+            resume_ck = torch.load(resume_path, map_location="cpu",
+                                   weights_only=False)
+            resume_from = resume_ck["current_epoch"] + 1
+            print(f"[ref_run] will resume at epoch {resume_from} "
+                  f"from {resume_path}", flush=True)
+
+        orig_train = mod.train
+        _resume_state = {"loaded": resume_ck is None}
+
+        def train(trainLoader, model, model_ema, optim, args):
+            epo = getattr(args, "epo", 0)
+            if not _resume_state["loaded"]:
+                if epo < resume_from:
+                    return 0.0, 0.0
+                model.load_state_dict(resume_ck["model_state"])
+                model_ema.load_state_dict(resume_ck["model_ema_state"])
+                optim.load_state_dict(resume_ck["optim_state"])
+                args.best_acc = list(resume_ck["best_acc"])
+                args.best_epoch = list(resume_ck["best_epoch"])
+                _resume_state["loaded"] = True
+                print(f"[ref_run] resumed states at epoch {epo}", flush=True)
+            return orig_train(trainLoader, model, model_ema, optim, args)
+
+        mod.train = train
+
+        _orig_ckpt_save = mod.comm.ckpt_save
+
+        def _gated_ckpt_save(state, is_best, ckptPath="ckpts"):
+            if not _resume_state["loaded"]:
+                return
+            return _orig_ckpt_save(state, is_best, ckptPath=ckptPath)
+
+        mod.comm.ckpt_save = _gated_ckpt_save
+
+        orig_validate = mod.validate
+
+        def validate(validLoader, model, model_ema, args):
+            epo = getattr(args, "epo", 0)
+            n = len(args.best_epoch)   # 2 heads: student, teacher
+            if epo < resume_from:
+                return ([[] for _ in range(n)],
+                        [[0.0] * k_plus1 for _ in range(n)],
+                        [[0.0] * k_plus1 for _ in range(n)])
+            if (epo + 1) % eval_every == 0 or epo + 1 == args.epochs:
+                t0 = time.time()
+                out = orig_validate(validLoader, model, model_ema, args)
+                print(f"[ref_run] epoch {epo+1} full-valid teacher "
+                      f"PCK(mean)={out[1][-1][-1]:.5f} "
+                      f"({time.time()-t0:.0f}s)", flush=True)
+                return out
+            return ([[] for _ in range(n)],
+                    [[0.0] * k_plus1 for _ in range(n)],
+                    [[0.0] * k_plus1 for _ in range(n)])
+
+        mod.validate = validate
+        mod.exec("MT", {"dataSource": "Mouse", "trainCount": 100,
+                        "validCount": 500, "labelRatio": 0.3,
+                        "epochs": epochs})
     elif regime in ("mt_ubpl", "dualpose_ubpl"):
         # MT_UBPL and DualPose_UBPL share train/validate signatures
         # (projects/MT_UBPL.py:157,355 vs projects/DualPose_UBPL.py:156,298):
