@@ -35,8 +35,10 @@ def ref_epochwise(mark, regime):
 
     def n_epochs(d):
         return len(glob.glob(os.path.join(d, "logs", "logData", "*.json")))
-    dirs = sorted(glob.glob(os.path.join(REF_EXPR, f"*_{mark}_*")),
-                  key=n_epochs)
+    # "*_MT_*" would also match MT_UBPL dirs; the timestamp digit after the
+    # mark disambiguates
+    pat = f"*_{mark}_[0-9]*" if mark == "MT" else f"*_{mark}_*"
+    dirs = sorted(glob.glob(os.path.join(REF_EXPR, pat)), key=n_epochs)
     if not dirs:
         return {}, None
     exp = dirs[-1]
@@ -86,6 +88,7 @@ def table(title, ref, ours, ref_exp):
 def main():
     print("## Quality gate: Mouse 100/0.3, full 500-image validation\n")
     for mark, regime in (("Supervised", "supervised"),
+                         ("MT", "mt"),
                          ("MT_UBPL", "mt_ubpl"),
                          ("DualPose_UBPL", "dualpose_ubpl")):
         ref, exp = ref_epochwise(mark, regime)
