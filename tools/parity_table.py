@@ -70,7 +70,6 @@ def table(title, ref, ours, ref_exp):
         lines.append("")
     lines.append("| epoch | reference PCK@0.2 | ours PCK@0.2 | delta |")
     lines.append("|---|---|---|---|")
-    epochs = sorted(set(ref) | set(sorted(ours)[-1:] if ours else set()))
     for e in sorted(set(ref)):
         r = ref.get(e)
         o = ours.get(e)
