@@ -8,6 +8,11 @@ logData files.
 
 Usage: python tools/parity_run.py {supervised|mt|mt_ubpl|dualpose_ubpl}
        [epochs] [--resume]
+       python tools/parity_run.py {regime} --harvest   # mid-run snapshot
+
+--harvest rebuilds PARITY_ours_{regime}.json from whatever logData epochs the
+(possibly still-running) trainer has written so far, so partial runs survive
+a round boundary (the run dir itself is gitignored).
 
 The run dir defaults to a repo-local gitignored root (UBPL_PARITY_ROOT,
 default /root/repo/.parityrun) — /tmp is wiped across driver restarts and
@@ -68,15 +73,25 @@ def main():
 
     trainer = Trainer(cfg)
     trainer.run(base_path, resume=resume)
+    harvest(regime, base_path, epochs)
 
-    out = {"regime": regime, "epochs": epochs, "split": "Mouse_100_500_0.3",
+
+def harvest(regime, base_path, epochs=None):
+    """Build PARITY_ours_{regime}.json from the run's logData epochs written
+    so far.  Safe to call while the trainer is still running."""
+    out = {"regime": regime, "split": "Mouse_100_500_0.3",
            "valid_n": 500, "per_epoch": {}}
+    if epochs is not None:
+        out["epochs"] = epochs
     log_dir = os.path.join(base_path, "logs", "logData")
     for name in sorted(os.listdir(log_dir),
                        key=lambda s: int(s.split("_")[1].split(".")[0])):
         epo = int(name.split("_")[1].split(".")[0])
-        with open(os.path.join(log_dir, name)) as f:
-            d = json.load(f)
+        try:
+            with open(os.path.join(log_dir, name)) as f:
+                d = json.load(f)
+        except ValueError:
+            continue  # epoch file mid-write by the live trainer
         entry = {k: v for k, v in d.items() if k not in ("accs", "errs")}
         # accs/errs: [head][k+1]; last head is the selection head (ensemble
         # mean for MT_UBPL, the model itself for supervised)
@@ -87,8 +102,14 @@ def main():
     with open(os.path.join(REPO, f"PARITY_ours_{regime}.json"), "w") as f:
         json.dump(out, f, indent=1)
     final = out["per_epoch"][str(max(int(k) for k in out["per_epoch"]))]
-    print("DONE", regime, "final PCK(mean) =", final["pck_mean"])
+    print("harvested", regime, len(out["per_epoch"]), "epochs; last PCK(mean) =",
+          final["pck_mean"])
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[2] == "--harvest":
+        _regime = sys.argv[1]
+        _root = os.environ.get("UBPL_PARITY_ROOT", "/root/repo/.parityrun")
+        harvest(_regime, os.path.join(_root, _regime))
+    else:
+        main()
