@@ -218,11 +218,25 @@ def get_baseline():
 LAST_GOOD = os.path.join(REPO, "BENCH_LAST.json")
 
 
-def _result_line(value, ref, stale=False):
+def _knobs():
+    """The measurement-affecting config of THIS run, recorded alongside the
+    value so a stale replay is labeled with the config it was measured at."""
+    return {"bs": BENCH_BS, "steps": BENCH_STEPS, "scan": BENCH_SCAN,
+            "fuse": BENCH_FUSE, "fold": BENCH_FOLD, "unroll": BENCH_UNROLL,
+            "remat": BENCH_REMAT, "stream": BENCH_STREAM}
+
+
+def _result_line(value, ref, stale=False, knobs=None):
+    bs = (knobs or _knobs())["bs"]
     metric = ("MT_UBPL train throughput (HG3, fused step, "
-              f"bs={BENCH_BS}, incl. on-device augmentation)")
+              f"bs={bs}, incl. on-device augmentation)")
     if stale:
         metric += " [STALE: last completed measurement; live run interrupted]"
+        nondefault = {k: v for k, v in (knobs or {}).items()
+                      if k not in ("bs", "steps") and v not in (False, None)
+                      and not (k == "scan" and v == 1)}
+        if nondefault:
+            metric += f" [measured with {nondefault}]"
     return json.dumps({"metric": metric, "value": round(value, 2),
                        "unit": "images/sec/chip",
                        "vs_baseline": round(value / ref, 2)})
@@ -239,10 +253,14 @@ def _install_deadline_fallback(ref):
     import signal
 
     def on_term(signum, frame):
-        if os.path.exists(LAST_GOOD):
+        try:
             with open(LAST_GOOD) as f:
                 last = json.load(f)
-            print(_result_line(last["value"], ref, stale=True), flush=True)
+            knobs = last.get("knobs") or {"bs": last.get("bs", BENCH_BS)}
+            print(_result_line(last["value"], ref, stale=True, knobs=knobs),
+                  flush=True)
+        except Exception:
+            pass  # no/corrupt LAST_GOOD: exit 124 with no stale line
         os._exit(124)
 
     signal.signal(signal.SIGTERM, on_term)
@@ -253,9 +271,13 @@ def main():
     ref = baseline["reference_torch_cpu_images_per_sec"]
     _install_deadline_fallback(ref)
     value = measure_ours()
-    with open(LAST_GOOD, "w") as f:
+    # atomic write: a SIGTERM landing mid-dump must not leave a truncated
+    # LAST_GOOD for the next timed-out run's fallback handler
+    tmp = LAST_GOOD + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"value": value, "ts": time.time(),
-                   "bs": BENCH_BS, "steps": BENCH_STEPS}, f)
+                   "knobs": _knobs()}, f)
+    os.replace(tmp, LAST_GOOD)
     print(_result_line(value, ref))
 
 

@@ -69,11 +69,18 @@ def main():
             rows[label] = {"img_per_s": round(ips, 1),
                            "wall_s": round(time.time() - t0, 1)}
             print(f"bs={bs} {label}: {ips:.1f} img/s", flush=True)
-        ok = {k: v for k, v in rows.items() if "img_per_s" in v}
+        # merge rows into any prior measurements for this bs, then recompute
+        # best from the MERGED rows — a re-tune where every candidate fails
+        # must not leave a stale best citing a row the new results dropped
+        merged = dict(out["results"].get(str(bs), {}))
+        merged.update(rows)
+        out["results"][str(bs)] = merged
+        ok = {k: v for k, v in merged.items() if "img_per_s" in v}
         if ok:
             best = max(ok, key=lambda k: ok[k]["img_per_s"])
             out["best"][str(bs)] = {"config": best, **ok[best]}
-        out["results"][str(bs)] = rows
+        else:
+            out["best"].pop(str(bs), None)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print("wrote", path)

@@ -109,10 +109,8 @@ def harvest_ref_dual(regime="mt_ubpl"):
                      "may come from a successor experiment dir)",
            "experiment": experiments if len(experiments) > 1
            else experiments[0], "per_epoch": merged}
-    if len(merged) < len(old_per):
-        print(f"ref {regime}: keeping committed artifact "
-              f"({len(old_per)} epochs > merged {len(merged)})")
-        return
+    # merged starts from old_per and only ever grows, so no shrink guard is
+    # needed here — the merge itself is the protection.
     with open(art, "w") as f:
         json.dump(out, f, indent=1)
     full = sorted(int(e) for e, v in merged.items() if "pck_mean" in v)
@@ -132,13 +130,28 @@ def harvest_ref_all_runs(regime="mt_ubpl"):
     if os.path.exists(art):
         with open(art) as f:
             runs = json.load(f).get("runs", {})
-    # seed run-1 from the primary artifact (its experiment dir is long gone)
+
+    def _strip_stubs(per):
+        """Drop resume-stub epochs (ref_run no-ops epochs below the resume
+        point: zero losses, no full-valid accs) — they are not training
+        data and make a continuation look like a from-scratch run."""
+        return {e: v for e, v in per.items()
+                if any(v.get("pec_losses") or []) or v.get("pec_loss")
+                or "pck_mean" in v}
+
+    # seed run-1 from the primary artifact (its experiment dir is long
+    # gone).  "experiment" is a str, or a list when cross-round resume
+    # merged a continuation dir into the same logical run — key the merged
+    # per_epoch under the ORIGINAL dir name in that case.
     primary = os.path.join(REPO, f"PARITY_ref_{regime}.json")
     if os.path.exists(primary):
         with open(primary) as f:
             p = json.load(f)
-        if p.get("experiment") and p["experiment"] not in runs:
-            runs[p["experiment"]] = p["per_epoch"]
+        names = p.get("experiment") or []
+        if isinstance(names, str):
+            names = [names]
+        if names and not any(n in runs for n in names):
+            runs[names[0]] = p["per_epoch"]
     changed = False
     for exp in glob.glob(os.path.join(REF_EXPR, pat)):
         eps = _epochs(os.path.join(exp, "logs", "logData"))
@@ -147,16 +160,30 @@ def harvest_ref_all_runs(regime="mt_ubpl"):
         per = {}
         for e, d in sorted(eps.items()):
             per[str(e)] = _entry_from_logdata(regime, d)
+        per = _strip_stubs(per)
+        if len(per) < 2:
+            continue
         name = os.path.basename(exp)
         if len(per) >= len(runs.get(name, {})):
             runs[name] = per
             changed = True
     if not changed and not runs:
         return
+    runs = {name: _strip_stubs(per) for name, per in runs.items()}
+    # A run whose real epochs start above 1 is a checkpoint-resumed
+    # CONTINUATION of an earlier run: overlap deltas against its parent
+    # measure augmentation-RNG variance from the shared prefix, not
+    # independent-seed variance.  Record that so parity_variance.py and
+    # readers don't over-claim run independence.
+    continuations = {name: min(int(e) for e in per)
+                     for name, per in runs.items()
+                     if per and min(int(e) for e in per) > 1}
     out = {"regime": regime, "split": "Mouse_100_500_0.3", "valid_n": 500,
-           "source": "independent reference runs via tools/ref_run.py "
-                     "(torch CPU; run-to-run differences are seed + "
-                     "augmentation-RNG variance)",
+           "source": "reference runs via tools/ref_run.py (torch CPU; "
+                     "run-to-run differences are seed + augmentation-RNG "
+                     "variance; runs listed in 'continuations' resumed from "
+                     "an earlier run's checkpoint and share its prefix)",
+           "continuations": continuations,
            "runs": runs}
     with open(art, "w") as f:
         json.dump(out, f, indent=1)

@@ -40,9 +40,11 @@ def pin_reference_split(cache_dir="/tmp/ubpl_parity_cache"):
 
 
 def main():
-    regime = sys.argv[1] if len(sys.argv) > 1 else "supervised"
-    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    resume = len(sys.argv) > 3 and sys.argv[3] == "--resume"
+    argv = sys.argv[1:]
+    resume = "--resume" in argv
+    argv = [a for a in argv if a != "--resume"]
+    regime = argv[0] if argv else "supervised"
+    epochs = int(argv[1]) if len(argv) > 1 else 100
 
     from ubpl_tpu.config import Config
     cache_dir = pin_reference_split()
@@ -78,12 +80,17 @@ def main():
 
 def harvest(regime, base_path, epochs=None):
     """Build PARITY_ours_{regime}.json from the run's logData epochs written
-    so far.  Safe to call while the trainer is still running."""
+    so far.  Safe to call while the trainer is still running.  Never shrinks
+    the committed artifact (a fresh restart of the run must not clobber a
+    deeper previously-harvested one)."""
     out = {"regime": regime, "split": "Mouse_100_500_0.3",
            "valid_n": 500, "per_epoch": {}}
     if epochs is not None:
         out["epochs"] = epochs
     log_dir = os.path.join(base_path, "logs", "logData")
+    if not os.path.isdir(log_dir):
+        print(f"harvest {regime}: no logData at {log_dir}")
+        return
     for name in sorted(os.listdir(log_dir),
                        key=lambda s: int(s.split("_")[1].split(".")[0])):
         epo = int(name.split("_")[1].split(".")[0])
@@ -99,7 +106,18 @@ def harvest(regime, base_path, epochs=None):
         entry["err_mean"] = d["errs"][-1][-1]
         entry["pck_per_joint"] = d["accs"][-1][:-1]
         out["per_epoch"][str(epo)] = entry
-    with open(os.path.join(REPO, f"PARITY_ours_{regime}.json"), "w") as f:
+    if not out["per_epoch"]:
+        print(f"harvest {regime}: no completed epochs yet")
+        return
+    art = os.path.join(REPO, f"PARITY_ours_{regime}.json")
+    if os.path.exists(art):
+        with open(art) as f:
+            old = json.load(f).get("per_epoch", {})
+        if len(old) > len(out["per_epoch"]):
+            print(f"harvest {regime}: keeping committed artifact "
+                  f"({len(old)} epochs > harvested {len(out['per_epoch'])})")
+            return
+    with open(art, "w") as f:
         json.dump(out, f, indent=1)
     final = out["per_epoch"][str(max(int(k) for k in out["per_epoch"]))]
     print("harvested", regime, len(out["per_epoch"]), "epochs; last PCK(mean) =",

@@ -25,7 +25,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def load(regime):
     with open(os.path.join(REPO, f"PARITY_ref_{regime}_runs.json")) as f:
-        runs = json.load(f)["runs"]
+        art = json.load(f)
+    runs, continuations = art["runs"], art.get("continuations", {})
     ref = {}
     for name, per in sorted(runs.items()):
         pts = {int(e): v["pck_mean"] for e, v in per.items()
@@ -38,15 +39,21 @@ def load(regime):
         with open(ours_path) as f:
             ours = {int(e): v["pck_mean"]
                     for e, v in json.load(f)["per_epoch"].items()}
-    return ref, ours
+    return ref, ours, continuations
 
 
 def main():
     regime = sys.argv[1] if len(sys.argv) > 1 else "mt_ubpl"
-    ref, ours = load(regime)
+    ref, ours, continuations = load(regime)
     names = list(ref)
     print(f"### {regime}: reference seed-variance vs ours "
           f"({len(names)} reference runs)\n")
+    for name in names:
+        if name in continuations:
+            print(f"NOTE: `{name}` resumed from an earlier run's checkpoint "
+                  f"at epoch {continuations[name]}; its deltas against the "
+                  "parent measure augmentation-RNG variance from a shared "
+                  "prefix (a LOWER bound on independent-seed variance).\n")
     header = ["epoch"] + [f"ref run{i+1}" for i in range(len(names))] + \
              ["ours", "|ref1-ref2|", "|ours-ref1|"]
     print("| " + " | ".join(header) + " |")
@@ -82,8 +89,12 @@ def main():
     if rr and ro:
         verdict = ("WITHIN" if np.mean(ro) <= np.mean(rr) * 1.5
                    else "ABOVE")
+        band = ("run-to-run noise band (shared-prefix continuation — a "
+                "lower bound on independent-seed noise)"
+                if any(n in continuations for n in names)
+                else "own seed-noise band")
         print(f"\nours-vs-reference mean delta is {verdict} the reference's "
-              "own seed-noise band")
+              f"{band}")
 
 
 if __name__ == "__main__":

@@ -197,6 +197,14 @@ def main():
         resume_path = os.environ.get("REF_RESUME")
         if resume_path == "none":
             resume_path = None
+        elif not resume_path and os.environ.get("REF_SEED"):
+            # A REF_SEED run exists to measure independent-seed variance;
+            # silently auto-resuming from the primary (seed-1388) run's
+            # checkpoint would make it a continuation of the very trajectory
+            # it is supposed to be independent of.  Fresh start unless the
+            # caller names a checkpoint explicitly.
+            print("[ref_run] REF_SEED set: auto-resume disabled "
+                  "(fresh independent run)", flush=True)
         elif not resume_path:
             sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
             from ref_ckpt_persist import training_dir, SNAPSHOT_ROOT
