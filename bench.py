@@ -270,7 +270,23 @@ def main():
     baseline = get_baseline()
     ref = baseline["reference_torch_cpu_images_per_sec"]
     _install_deadline_fallback(ref)
-    value = measure_ours()
+    try:
+        value = measure_ours()
+    except Exception:
+        # e.g. a long-lived training run owns the chip's HBM when the driver
+        # invokes us: a labeled stale line still beats no JSON at all
+        import traceback
+        traceback.print_exc()
+        try:
+            with open(LAST_GOOD) as f:
+                last = json.load(f)
+            print(_result_line(last["value"], ref, stale=True,
+                               knobs=last.get("knobs")
+                               or {"bs": last.get("bs", BENCH_BS)}),
+                  flush=True)
+            return
+        except Exception:
+            raise SystemExit(1)
     # atomic write: a SIGTERM landing mid-dump must not leave a truncated
     # LAST_GOOD for the next timed-out run's fallback handler
     tmp = LAST_GOOD + ".tmp"

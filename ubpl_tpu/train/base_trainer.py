@@ -26,6 +26,21 @@ from ..data.arrays import pad_to_multiple
 from .common import forward_heatmaps, put_dataset, update_pck_counters
 
 
+def build_ema_state(tx, state_cls, params, batch_stats):
+    """Construct a student/EMA-teacher state — state_cls's first five fields
+    are (params, batch_stats, ema_params, ema_batch_stats, opt_state), the
+    shape shared by the MT-family and classification trainers — in ONE
+    jitted program.  Eager construction dispatches one tiny device op per
+    leaf (seconds-to-minutes over a tunneled device link for HG3's hundreds
+    of leaves); ``jnp.copy`` inside jit lowers to an HLO copy, so the EMA
+    trees keep buffers distinct from the student params (the train step
+    donates the state; aliased leaves must not be donated twice)."""
+    cp = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
+    return jax.jit(
+        lambda p, b: state_cls(p, b, cp(p), cp(b), tx.init(p)))(
+            params, batch_stats)
+
+
 class BaseTrainer:
     regime = "Base"
     #: names of the validated heads; "mean" appends an ensemble-mean row
@@ -481,6 +496,9 @@ class BaseTrainer:
         the student params (the train step donates the state; aliased
         leaves must not be donated twice)."""
         return jax.jit(build)(params, batch_stats)
+
+    def _jit_build_ema_state(self, state_cls, params, batch_stats):
+        return build_ema_state(self.tx, state_cls, params, batch_stats)
 
     def _log_model_init(self, params, label):
         self.logger.print("L1", "=> initialized {} ({}) Structure (params: {:.2f}M)"

@@ -25,6 +25,7 @@ from ..config import Config
 from ..data.cifar import CIFAR10Data, CIFAR100Data
 from ..data.sampler import (TwoStreamBatchSampler, supervised_epoch_batches,
                             valid_batches)
+from .base_trainer import build_ema_state
 from ..models import (create_class_model, init_model, init_model_stacked,
                       param_count)
 from ..utils import Logger
@@ -96,13 +97,7 @@ class ClassificationTrainer:
                               for i in range(self.n_models)])
             params, bs = init_model_stacked(self.model, rngs, sample)
         self.tx = optax.adamw(cfg.lr, weight_decay=cfg.wd)
-        tx = self.tx
-        cp = lambda t: jax.tree_util.tree_map(jnp.copy, t)
-        # one jitted program — eager per-leaf copies/optimizer init cost a
-        # device round-trip per leaf (see BaseTrainer._jit_build_state)
-        self.state = jax.jit(
-            lambda p, b: ClassState(p, b, cp(p), cp(b), tx.init(p)))(
-                params, bs)
+        self.state = build_ema_state(self.tx, ClassState, params, bs)
         self.logger.print("L1", "=> initialized {} classifier (params: {:.2f}M)"
                           .format(cfg.model, param_count(params) / 1024 ** 2))
 

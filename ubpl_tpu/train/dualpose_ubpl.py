@@ -38,11 +38,8 @@ class DualPoseUBPLTrainer(BaseTrainer):
         base_tx = optax.adamw(cfg.lr, weight_decay=cfg.wd)
         self.tx = (mld_optimizer(base_tx, cfg.mld_alpha)
                    if cfg.optimizer == "mld" else base_tx)
-        tx = self.tx
-        cp = lambda t: jax.tree_util.tree_map(jnp.copy, t)
-        self.state = self._jit_build_state(
-            lambda p, b: DualState(p, b, cp(p), cp(b), tx.init(p)),
-            params, batch_stats)
+        self.state = self._jit_build_ema_state(DualState, params,
+                                               batch_stats)
         self._log_model_init(params, "DualPose")
 
     def _build_steps(self):

@@ -43,11 +43,7 @@ class MeanTeacherTrainer(BaseTrainer):
         # teacher starts as a copy (reference inits a second net then EMA
         # immediately pulls it toward the student with alpha=0 at epoch 0)
         self.tx = optax.adamw(cfg.lr, weight_decay=cfg.wd)
-        tx = self.tx
-        cp = lambda t: jax.tree_util.tree_map(jnp.copy, t)
-        self.state = self._jit_build_state(
-            lambda p, b: MTState(p, b, cp(p), cp(b), tx.init(p)),
-            params, batch_stats)
+        self.state = self._jit_build_ema_state(MTState, params, batch_stats)
         self._log_model_init(params, "MT")
 
     # ----------------------------------------------------------------- steps
