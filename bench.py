@@ -218,6 +218,37 @@ def get_baseline():
 LAST_GOOD = os.path.join(REPO, "BENCH_LAST.json")
 
 
+def _load_last_good():
+    """Best prior measurement for the stale-fallback line.
+
+    BENCH_LAST.json (gitignored) is the freshest, but the workspace reset at
+    round boundaries wipes it; fall back to the committed BENCH_r{N}.json
+    driver artifacts (newest round first) so a post-reset timeout still
+    reports a real, labeled prior number instead of nothing (round 3's
+    driver run recorded rc=124 with no JSON at all)."""
+    try:
+        with open(LAST_GOOD) as f:
+            last = json.load(f)
+        return last["value"], last.get("knobs") or {"bs": last.get("bs",
+                                                                   BENCH_BS)}
+    except Exception:
+        pass
+    import glob as _glob
+    for art in sorted(_glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+                      reverse=True):
+        try:
+            with open(art) as f:
+                parsed = json.load(f).get("parsed") or {}
+            if parsed.get("value") and "STALE" not in parsed.get("metric", ""):
+                import re
+                m = re.search(r"bs=(\d+)", parsed.get("metric", ""))
+                return parsed["value"], {"bs": int(m.group(1)) if m
+                                         else BENCH_BS}
+        except Exception:
+            continue
+    return None
+
+
 def _knobs():
     """The measurement-affecting config of THIS run, recorded alongside the
     value so a stale replay is labeled with the config it was measured at."""
@@ -253,14 +284,11 @@ def _install_deadline_fallback(ref):
     import signal
 
     def on_term(signum, frame):
-        try:
-            with open(LAST_GOOD) as f:
-                last = json.load(f)
-            knobs = last.get("knobs") or {"bs": last.get("bs", BENCH_BS)}
-            print(_result_line(last["value"], ref, stale=True, knobs=knobs),
+        last = _load_last_good()
+        if last is not None:
+            value, knobs = last
+            print(_result_line(value, ref, stale=True, knobs=knobs),
                   flush=True)
-        except Exception:
-            pass  # no/corrupt LAST_GOOD: exit 124 with no stale line
         os._exit(124)
 
     signal.signal(signal.SIGTERM, on_term)
@@ -277,16 +305,12 @@ def main():
         # invokes us: a labeled stale line still beats no JSON at all
         import traceback
         traceback.print_exc()
-        try:
-            with open(LAST_GOOD) as f:
-                last = json.load(f)
-            print(_result_line(last["value"], ref, stale=True,
-                               knobs=last.get("knobs")
-                               or {"bs": last.get("bs", BENCH_BS)}),
-                  flush=True)
-            return
-        except Exception:
+        last = _load_last_good()
+        if last is None:
             raise SystemExit(1)
+        value, knobs = last
+        print(_result_line(value, ref, stale=True, knobs=knobs), flush=True)
+        return
     # atomic write: a SIGTERM landing mid-dump must not leave a truncated
     # LAST_GOOD for the next timed-out run's fallback handler
     tmp = LAST_GOOD + ".tmp"
