@@ -39,8 +39,18 @@ PATTERNS = {"mt_ubpl": "*_MT_UBPL_*", "dualpose_ubpl": "*_DualPose_UBPL_*",
 
 def _entry_from_logdata(regime, d):
     """Losses + (full-valid only) PCK from one reference logData epoch.
-    MT logs scalar pec_loss/mtc_loss (reference projects/MT.py:115); the
-    dual regimes log per-branch lists + epc/fdc (projects/MT_UBPL.py:117)."""
+    Supervised logs scalar pec_loss + flat accs/errs (reference
+    projects/supervised.py:104); MT logs scalar pec_loss/mtc_loss
+    (projects/MT.py:115); the dual regimes log per-branch lists + epc/fdc
+    (projects/MT_UBPL.py:117)."""
+    if regime == "supervised":
+        accs = d["accs"]          # single head, flat [k+1]
+        entry = {"pec_loss": d["pec_loss"]}
+        if accs[-1] > 0:
+            entry["pck_mean"] = accs[-1]
+            entry["err_mean"] = d["errs"][-1]
+            entry["pck_per_joint"] = accs[:-1]
+        return entry
     accs = d["accsArraies"][-1]   # selection head (ensemble mean / teacher)
     if regime == "mt":
         entry = {"pec_loss": d["pec_loss"], "mtc_loss": d["mtc_loss"]}
@@ -250,6 +260,10 @@ if __name__ == "__main__":
     harvest_ref_all_runs("mt_ubpl")
     harvest_ref_all_runs("dualpose_ubpl")
     harvest_ref_all_runs("mt")
+    # supervised: primary artifact is the complete seed-1388 run (never
+    # re-harvested here); _runs accumulates independent REF_SEED variance
+    # runs against it
+    harvest_ref_all_runs("supervised")
     for reg in ("supervised", "mt", "mt_ubpl", "dualpose_ubpl"):
         harvest_ours(reg)
     harvest_demo("dualpose_ubpl")
