@@ -137,9 +137,12 @@ def harvest_ref_all_runs(regime="mt_ubpl"):
     pat = PATTERNS[regime]
     art = os.path.join(REPO, f"PARITY_ref_{regime}_runs.json")
     runs = {}
+    prior_cont = {}
     if os.path.exists(art):
         with open(art) as f:
-            runs = json.load(f).get("runs", {})
+            prior = json.load(f)
+        runs = prior.get("runs", {})
+        prior_cont = prior.get("continuations", {})
 
     def _strip_stubs(per):
         """Drop resume-stub epochs (ref_run no-ops epochs below the resume
@@ -181,13 +184,38 @@ def harvest_ref_all_runs(regime="mt_ubpl"):
         return
     runs = {name: _strip_stubs(per) for name, per in runs.items()}
     # A run whose real epochs start above 1 is a checkpoint-resumed
-    # CONTINUATION of an earlier run: overlap deltas against its parent
-    # measure augmentation-RNG variance from the shared prefix, not
-    # independent-seed variance.  Record that so parity_variance.py and
-    # readers don't over-claim run independence.
-    continuations = {name: min(int(e) for e in per)
-                     for name, per in runs.items()
-                     if per and min(int(e) for e in per) > 1}
+    # CONTINUATION of an earlier run.  When exactly one other run's deepest
+    # epoch is start-1, that run is the parent (REF_RESUME extends a
+    # stopped run) — merge the child's epochs into the parent so the
+    # logical trajectory stays one run; otherwise record the child as an
+    # unmerged continuation so parity_variance.py and readers don't
+    # over-claim run independence.
+    continuations = {}
+    # replay remembered merges first (idempotency: the child's experiment
+    # dir re-appears on every harvest while its parent already absorbed it)
+    for child, rec in prior_cont.items():
+        if isinstance(rec, dict) and rec.get("merged_into"):
+            parent = rec["merged_into"]
+            if child in runs and parent in runs:
+                runs[parent] = {**runs[parent], **runs.pop(child)}
+            continuations[child] = rec
+    for name in sorted(runs):
+        if name in continuations:
+            continue
+        per = runs.get(name)
+        if not per:
+            continue
+        start = min(int(e) for e in per)
+        if start <= 1:
+            continue
+        parents = [n for n, p in runs.items()
+                   if n != name and p and max(int(e) for e in p) == start - 1]
+        if len(parents) == 1:
+            runs[parents[0]] = {**runs[parents[0]], **per}
+            del runs[name]
+            continuations[name] = {"start": start, "merged_into": parents[0]}
+        else:
+            continuations[name] = start
     out = {"regime": regime, "split": "Mouse_100_500_0.3", "valid_n": 500,
            "source": "reference runs via tools/ref_run.py (torch CPU; "
                      "run-to-run differences are seed + augmentation-RNG "

@@ -48,10 +48,14 @@ def main():
     names = list(ref)
     print(f"### {regime}: reference seed-variance vs ours "
           f"({len(names)} reference runs)\n")
-    for name in names:
-        if name in continuations:
+    for name, rec in continuations.items():
+        if isinstance(rec, dict) and rec.get("merged_into"):
+            print(f"NOTE: `{name}` is a checkpoint-resumed extension of "
+                  f"`{rec['merged_into']}` from epoch {rec['start']} "
+                  "(harvest merged them into one logical run).\n")
+        elif name in names:
             print(f"NOTE: `{name}` resumed from an earlier run's checkpoint "
-                  f"at epoch {continuations[name]}; its deltas against the "
+                  f"at epoch {rec}; its deltas against the "
                   "parent measure augmentation-RNG variance from a shared "
                   "prefix (a LOWER bound on independent-seed variance).\n")
     header = ["epoch"] + [f"ref run{i+1}" for i in range(len(names))] + \

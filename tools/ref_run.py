@@ -170,10 +170,59 @@ def main():
         from projects import supervised as mod
         k_plus1 = 10  # Mouse: 9 kps + mean
 
+        # Emulated resume (same scheme as the MT/MT_UBPL branches below;
+        # the reference itself pins start_epoch to 0,
+        # projects/supervised.py:30).  Used by REF_SEED variance runs to
+        # extend a finished partial run past its last epoch: skipped epochs
+        # are no-ops, then model/optim/best-acc states load and training
+        # continues.  No auto-resume here — the primary seed-1388 run
+        # completed in one round and a REF_SEED run must stay independent,
+        # so only an explicit REF_RESUME path triggers it.
+        resume_path = os.environ.get("REF_RESUME")
+        if resume_path == "none":
+            resume_path = None
+        resume_from = 0
+        resume_ck = None
+        if resume_path:
+            resume_ck = torch.load(resume_path, map_location="cpu",
+                                   weights_only=False)
+            resume_from = resume_ck["current_epoch"] + 1
+            print(f"[ref_run] will resume at epoch {resume_from} "
+                  f"from {resume_path}", flush=True)
+
+        orig_train = mod.train
+        _resume_state = {"loaded": resume_ck is None}
+
+        def train(trainLoader, model, optim, args):
+            epo = getattr(args, "epo", 0)
+            if not _resume_state["loaded"]:
+                if epo < resume_from:
+                    return 0.0
+                model.load_state_dict(resume_ck["model_state"])
+                optim.load_state_dict(resume_ck["optim_state"])
+                args.best_acc = resume_ck["best_acc"]
+                args.best_epoch = resume_ck["best_epoch"]
+                _resume_state["loaded"] = True
+                print(f"[ref_run] resumed states at epoch {epo}", flush=True)
+            return orig_train(trainLoader, model, optim, args)
+
+        mod.train = train
+
+        _orig_ckpt_save = mod.comm.ckpt_save
+
+        def _gated_ckpt_save(state, is_best, ckptPath="ckpts"):
+            if not _resume_state["loaded"]:
+                return
+            return _orig_ckpt_save(state, is_best, ckptPath=ckptPath)
+
+        mod.comm.ckpt_save = _gated_ckpt_save
+
         orig_validate = mod.validate
 
         def validate(validLoader, model, args):
             epo = getattr(args, "epo", 0)
+            if epo < resume_from:
+                return [], [0.0] * k_plus1, [0.0] * k_plus1
             if (epo + 1) % eval_every == 0 or epo + 1 == args.epochs:
                 t0 = time.time()
                 out = orig_validate(validLoader, model, args)
