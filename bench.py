@@ -234,16 +234,35 @@ def _load_last_good():
     except Exception:
         pass
     import glob as _glob
+    import re
+
+    def _round_no(path):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
+    # numeric sort: lexical reverse-sort would pick r99 over r100
     for art in sorted(_glob.glob(os.path.join(REPO, "BENCH_r*.json")),
-                      reverse=True):
+                      key=_round_no, reverse=True):
         try:
             with open(art) as f:
                 parsed = json.load(f).get("parsed") or {}
-            if parsed.get("value") and "STALE" not in parsed.get("metric", ""):
-                import re
-                m = re.search(r"bs=(\d+)", parsed.get("metric", ""))
-                return parsed["value"], {"bs": int(m.group(1)) if m
-                                         else BENCH_BS}
+            metric = parsed.get("metric", "")
+            if parsed.get("value") and "STALE" not in metric:
+                knobs = {"bs": BENCH_BS}
+                m = re.search(r"bs=(\d+)", metric)
+                if m:
+                    knobs["bs"] = int(m.group(1))
+                # recover any non-default knobs the stale line recorded
+                # ("[measured with {'fuse': True, ...}]") so a replayed
+                # fallback keeps its measured-with qualifier
+                m = re.search(r"\[measured with (\{.*?\})\]", metric)
+                if m:
+                    import ast
+                    try:
+                        knobs.update(ast.literal_eval(m.group(1)))
+                    except (ValueError, SyntaxError):
+                        pass
+                return parsed["value"], knobs
         except Exception:
             continue
     return None

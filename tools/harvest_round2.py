@@ -166,8 +166,13 @@ def harvest_ref_all_runs(regime="mt_ubpl"):
         if names and not any(n in runs for n in names):
             runs[names[0]] = p["per_epoch"]
     changed = False
+    provenance = {}     # child experiment name -> resume.json record
     for exp in glob.glob(os.path.join(REF_EXPR, pat)):
         eps = _epochs(os.path.join(exp, "logs", "logData"))
+        res_rec = os.path.join(exp, "resume.json")
+        if os.path.exists(res_rec):
+            with open(res_rec) as f:
+                provenance[os.path.basename(exp)] = json.load(f)
         if len(eps) < 2:
             continue        # eval-only / startup dirs
         per = {}
@@ -208,12 +213,34 @@ def harvest_ref_all_runs(regime="mt_ubpl"):
         start = min(int(e) for e in per)
         if start <= 1:
             continue
+        # Provenance first (advisor r4): ref_run.py records the resume
+        # checkpoint's originating experiment into the child dir's
+        # resume.json — key the merge on that, not on epoch adjacency.
+        prov = provenance.get(name) or {}
+        parent = prov.get("parent_experiment")
+        if parent:
+            if parent in runs:
+                runs[parent] = {**runs[parent], **per}
+                del runs[name]
+                continuations[name] = {"start": start, "merged_into": parent,
+                                       "provenance": "resume.json"}
+            else:
+                # parent named but its run isn't harvested (dir wiped before
+                # ever being harvested) — keep the child as its own partial
+                # run, but record the known ancestry
+                continuations[name] = {"start": start, "parent": parent,
+                                       "provenance": "resume.json",
+                                       "merged_into": None}
+            continue
         parents = [n for n, p in runs.items()
                    if n != name and p and max(int(e) for e in p) == start - 1]
         if len(parents) == 1:
+            print(f"WARNING: {name} merged into {parents[0]} by epoch "
+                  "adjacency only (no resume.json provenance)")
             runs[parents[0]] = {**runs[parents[0]], **per}
             del runs[name]
-            continuations[name] = {"start": start, "merged_into": parents[0]}
+            continuations[name] = {"start": start, "merged_into": parents[0],
+                                   "provenance": "adjacency-heuristic"}
         else:
             continuations[name] = start
     out = {"regime": regime, "split": "Mouse_100_500_0.3", "valid_n": 500,

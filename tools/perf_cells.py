@@ -19,9 +19,19 @@ import bench  # noqa: E402
 
 
 def parse_cell(spec):
+    """Parse ``bs=<N>:<knob>[,...]`` into a FULLY-RESOLVED knob dict.
+
+    Every knob is pinned explicitly (advisor r4): unspecified knobs take
+    the same defaults tools/autotune.py measures with, computed from the
+    CELL's bs — not from bench.py's UBPL_BENCH_* env fallbacks, which are
+    derived from the env BENCH_BS and would make cells incomparable with
+    the autotune sweep (e.g. a bs=4 cell silently running scan=1)."""
     head, _, knobstr = spec.partition(":")
     bs = int(head.split("=")[1])
-    kw = {}
+    # autotune-sweep defaults for this bs: scan amortizes dispatch at small
+    # batch; unroll=None lets Config auto-pick (unroll at bs>=16)
+    kw = {"scan": 8 if bs <= 8 else 1, "fuse": False, "fold": False,
+          "unroll": None, "remat": False, "stream": False}
     label_parts = []
     for knob in filter(None, knobstr.split(",")):
         if knob == "fold":
@@ -34,6 +44,8 @@ def parse_cell(spec):
             kw["unroll"] = True
         elif knob == "nounroll":
             kw["unroll"] = False
+        elif knob == "stream":
+            kw["stream"] = True
         elif knob.startswith("scan="):
             kw["scan"] = int(knob.split("=")[1])
         else:
@@ -60,15 +72,26 @@ def main():
         t0 = time.time()
         try:
             v = bench.measure_ours(batch_size=bs, **kw)
-            cell = {"img_per_s": round(v, 1), "wall_s": round(time.time() - t0, 1)}
+            cell = {"img_per_s": round(v, 1),
+                    "wall_s": round(time.time() - t0, 1)}
         except Exception as e:  # record the failure; keep other cells
             cell = {"error": repr(e)[:300]}
+        cell["knobs"] = kw      # full resolved config, for reproducibility
         print(f"[perf_cells] bs={bs} {label}: {cell}", flush=True)
         out["results"].setdefault(str(bs), {})[label] = cell
-        best = out["best"].get(str(bs))
-        if "img_per_s" in cell and (not best
-                                    or cell["img_per_s"] > best["img_per_s"]):
-            out["best"][str(bs)] = {"config": label, **cell}
+        # recompute best from ALL merged rows (tools/autotune.py:73-81 does
+        # the same) — comparing only against the stored best leaves a stale
+        # higher number if re-measuring the current best config comes in
+        # lower or fails (advisor r4)
+        rows = out["results"][str(bs)]
+        scored = [(c["img_per_s"], lab) for lab, c in rows.items()
+                  if "img_per_s" in c]
+        if scored:
+            v_best, lab_best = max(scored)
+            out["best"][str(bs)] = {"config": lab_best,
+                                    **rows[lab_best]}
+        else:
+            out["best"].pop(str(bs), None)
         with open(art, "w") as f:
             json.dump(out, f, indent=2)
 

@@ -101,6 +101,40 @@ def _install_openpyxl_stub():
     sys.modules["torchvision.datasets"] = tv.datasets
 
 
+def _write_resume_provenance(args, resume_path, resume_from):
+    """Record where a resumed run's states came from into the NEW experiment
+    dir (<basePath>/resume.json) at the moment training actually starts.
+    tools/harvest_round2.py keys continuation merges on this record instead
+    of the epoch-adjacency heuristic (advisor round-4 medium finding): if
+    the true parent gained epochs after the checkpoint, adjacency alone can
+    splice two different trajectories into one logical run."""
+    parent = None
+    norm = os.path.normpath(resume_path)
+    parts = norm.split(os.sep)
+    if "ref_expr" in parts:                 # .../ref_expr/<EXP>/ckpts/ckpt
+        idx = parts.index("ref_expr")
+        if idx + 1 < len(parts):
+            parent = parts[idx + 1]
+    else:                                   # persisted snapshot: sibling
+        meta = os.path.join(os.path.dirname(norm), "meta.json")
+        if os.path.exists(meta):
+            try:
+                with open(meta) as f:
+                    parent = json.load(f).get("experiment")
+            except Exception:
+                parent = None
+    rec = {"resumed_from_ckpt": resume_path,
+           "parent_experiment": parent,
+           "resume_epoch": resume_from}
+    try:
+        with open(os.path.join(args.basePath, "resume.json"), "w") as f:
+            json.dump(rec, f, indent=1)
+    except Exception as e:                  # never break the run over this
+        print(f"[ref_run] WARNING: resume.json not written: {e!r}",
+              flush=True)
+    print(f"[ref_run] resume provenance: parent={parent}", flush=True)
+
+
 def main():
     regime = sys.argv[1] if len(sys.argv) > 1 else "supervised"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 100
@@ -204,6 +238,7 @@ def main():
                 args.best_epoch = resume_ck["best_epoch"]
                 _resume_state["loaded"] = True
                 print(f"[ref_run] resumed states at epoch {epo}", flush=True)
+                _write_resume_provenance(args, resume_path, resume_from)
             return orig_train(trainLoader, model, optim, args)
 
         mod.train = train
@@ -292,6 +327,7 @@ def main():
                 args.best_epoch = list(resume_ck["best_epoch"])
                 _resume_state["loaded"] = True
                 print(f"[ref_run] resumed states at epoch {epo}", flush=True)
+                _write_resume_provenance(args, resume_path, resume_from)
             return orig_train(trainLoader, model, model_ema, optim, args)
 
         mod.train = train
@@ -407,6 +443,7 @@ def main():
                 args.best_epoch = list(resume_ck["best_epoch"])
                 _resume_state["loaded"] = True
                 print(f"[ref_run] resumed states at epoch {epo}", flush=True)
+                _write_resume_provenance(args, resume_path, resume_from)
             return orig_train(trainLoader, models, models_ema, optims, args)
 
         mod.train = train
