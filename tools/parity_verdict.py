@@ -1,0 +1,88 @@
+"""Summarize the quality gate into one artifact: PARITY_VERDICT.json.
+
+For each regime with both a reference run (PARITY_ref_<regime>.json) and an
+ours run (PARITY_ours_<regime>.json) on the identical Mouse_100_500_0.3
+split + full 500-image validation, compute the epochwise ours-vs-reference
+PCK deltas over the shared full-valid epochs, plus — where a second
+independent reference run exists (PARITY_ref_<regime>_runs.json) — the
+reference's own run-to-run band for calibration.
+
+    python tools/parity_verdict.py          # writes + prints the artifact
+"""
+import json
+import os
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+REGIMES = ("supervised", "mt", "mt_ubpl", "dualpose_ubpl")
+
+
+def _full_valid(per_epoch):
+    return {int(e): v["pck_mean"] for e, v in per_epoch.items()
+            if "pck_mean" in v}
+
+
+def main():
+    out = {"split": "Mouse_100_500_0.3", "valid_n": 500, "regimes": {}}
+    for regime in REGIMES:
+        ref_p = os.path.join(REPO, f"PARITY_ref_{regime}.json")
+        ours_p = os.path.join(REPO, f"PARITY_ours_{regime}.json")
+        if not (os.path.exists(ref_p) and os.path.exists(ours_p)):
+            continue
+        with open(ref_p) as f:
+            ref = _full_valid(json.load(f)["per_epoch"])
+        with open(ours_p) as f:
+            ours = _full_valid(json.load(f)["per_epoch"])
+        shared = sorted(set(ref) & set(ours))
+        if not shared:
+            continue
+        deltas = [ours[e] - ref[e] for e in shared]
+        rec = {
+            "shared_full_valid_epochs": shared,
+            "ref_last": {"epoch": max(ref), "pck": ref[max(ref)]},
+            "ours_last": {"epoch": max(ours), "pck": ours[max(ours)]},
+            "ours_best_pck": max(ours.values()),
+            "delta_mean": float(np.mean(deltas)),
+            "delta_abs_mean": float(np.mean(np.abs(deltas))),
+            "delta_abs_max": float(np.max(np.abs(deltas))),
+            "sign_flips": int(np.sum(np.diff(np.sign(deltas)) != 0)),
+        }
+        # calibration: the reference's own seed-to-seed band, when a second
+        # independent run exists (continuation-merged runs count as one)
+        runs_p = os.path.join(REPO, f"PARITY_ref_{regime}_runs.json")
+        if os.path.exists(runs_p):
+            with open(runs_p) as f:
+                runs = [_full_valid(per)
+                        for per in json.load(f)["runs"].values()]
+            runs = [r for r in runs if r]
+            if len(runs) >= 2:
+                common = sorted(set(runs[0]) & set(runs[1]))
+                if common:
+                    band = [abs(runs[0][e] - runs[1][e]) for e in common]
+                    rec["ref_seed_band_abs_mean"] = float(np.mean(band))
+                    rec["ref_seed_band_abs_max"] = float(np.max(band))
+                    rec["verdict"] = (
+                        "WITHIN reference seed-noise band"
+                        if rec["delta_abs_mean"]
+                        <= rec["ref_seed_band_abs_mean"] * 1.5
+                        else "ABOVE reference seed-noise band")
+        if "verdict" not in rec:
+            # no independent second reference run: fall back to the
+            # sign-oscillation criterion (a systematic gap doesn't flip)
+            rec["verdict"] = (
+                "trajectories statistically indistinguishable "
+                "(deltas oscillate in sign)" if rec["sign_flips"] >= 2
+                and rec["delta_abs_max"] < 0.03
+                else "insufficient shared epochs for a verdict"
+                if len(shared) < 3 else "systematic gap")
+        out["regimes"][regime] = rec
+    path = os.path.join(REPO, "PARITY_VERDICT.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
