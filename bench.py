@@ -38,6 +38,10 @@ BENCH_UNROLL = None if _unroll_env is None else _unroll_env == "1"
 # remat the training forward (Config.remat) — targets bs>=64 activation
 # memory pressure; set UBPL_BENCH_REMAT=1 to A/B
 BENCH_REMAT = os.environ.get("UBPL_BENCH_REMAT", "0") == "1"
+# lax.scan the branch ensemble (Config.scan_branches): per-branch fwd/bwd
+# body compiled once — ~2x smaller program than unroll at the same
+# full-rate convs; set UBPL_BENCH_SCANBR=0 to A/B against unroll
+BENCH_SCANBR = os.environ.get("UBPL_BENCH_SCANBR", "0") == "1"
 # stream_data (host-resident training set, per-batch H2D with one-batch
 # prefetch) — set UBPL_BENCH_STREAM=1 to measure the streaming path's
 # overhead vs the HBM-resident gather (quantifies the prefetch overlap)
@@ -46,10 +50,20 @@ BENCH_STREAM = os.environ.get("UBPL_BENCH_STREAM", "0") == "1"
 
 _UNSET = object()
 
+_T0 = time.perf_counter()
+
+
+def _phase(name):
+    """Wall-clock phase marker on stderr (stdout carries only the JSON
+    line the driver parses).  Lets a timed-out driver run's log tail show
+    WHERE the budget went (remote compile vs data staging vs steps)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {name}",
+          file=sys.stderr, flush=True)
+
 
 def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS, scan=BENCH_SCAN,
                  fuse=None, fold=None, unroll=_UNSET, remat=None,
-                 stream=None):
+                 stream=None, scanbr=None):
     """Measure the MT_UBPL train step (img/s).  Knobs default to the
     UBPL_BENCH_* env settings; tools/autotune.py passes them explicitly."""
     import numpy as np
@@ -65,20 +79,26 @@ def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS, scan=BENCH_SCAN,
     unroll = BENCH_UNROLL if unroll is _UNSET else unroll
     remat = BENCH_REMAT if remat is None else remat
     stream = BENCH_STREAM if stream is None else stream
+    scanbr = BENCH_SCANBR if scanbr is None else scanbr
     if stream:
         scan = 1   # stream_data excludes scan_batches>1
     cfg = Config(model="HG3", synthetic_data=True, synthetic_kps=9,
                  inp_res=256, out_res=64,
-                 train_count=max(4 * batch_size, 64),
+                 # 2x batch is enough index variety for a throughput
+                 # measurement; halving the staged dataset halves the H2D
+                 # upload through the ~0.5 MB/s tunnel (docs/PERF.md r5)
+                 train_count=max(2 * batch_size, 64),
                  valid_count=8, label_ratio=0.5,
                  train_bs=batch_size, train_bs_labeled=batch_size // 2,
                  infer_bs=8, epochs=1, compute_dtype="bfloat16",
                  scan_batches=scan, fuse_teacher_forward=fuse,
                  fold_views=fold, unroll_branches=unroll,
-                 remat=remat, stream_data=stream)
+                 remat=remat, stream_data=stream, scan_branches=scanbr)
     cfg.pck_ref = (1, 2)
     cfg.pck_thr = 0.2
+    _phase("imports + jax init done, constructing trainer")
     trainer = MTUBPLTrainer(cfg)
+    _phase("trainer constructed (dataset staged, state built)")
     sched = trainer.epoch_schedules(0)
     args = (sched["cons_weight"], sched["fdl_weight"],
             sched["pseudo_weight"], sched["ema_alpha"])
@@ -114,8 +134,10 @@ def measure_ours(batch_size=BENCH_BS, steps=BENCH_STEPS, scan=BENCH_SCAN,
         per_call = 1
 
     state = trainer.state
+    _phase("batches staged, warmup step (compile or cache load)")
     state, m = run(state, batches[0], 1)   # warmup / compile
     jax.block_until_ready(m)
+    _phase("warmup done, measuring")
     t0 = time.perf_counter()
     for i in range(n_calls):
         state, m = run(state, batches[(i % (len(batches) - 1)) + 1],
@@ -273,7 +295,8 @@ def _knobs():
     value so a stale replay is labeled with the config it was measured at."""
     return {"bs": BENCH_BS, "steps": BENCH_STEPS, "scan": BENCH_SCAN,
             "fuse": BENCH_FUSE, "fold": BENCH_FOLD, "unroll": BENCH_UNROLL,
-            "remat": BENCH_REMAT, "stream": BENCH_STREAM}
+            "remat": BENCH_REMAT, "stream": BENCH_STREAM,
+            "scanbr": BENCH_SCANBR}
 
 
 def _result_line(value, ref, stale=False, knobs=None):

@@ -80,6 +80,30 @@ def test_unroll_branches_equivalence():
                                rtol=1e-4, atol=2.1 * lr)
 
 
+def test_scan_branches_equivalence():
+    """Config.scan_branches (lax.scan over the stacked branch axis — the
+    per-branch fwd/bwd body compiled once) computes the same step as the
+    unrolled per-branch programs: same math, same reduction order (each
+    scan iteration runs the same plain convs unroll emits), so tolerances
+    are the cross-program ones of test_unroll_branches_equivalence."""
+    t_scan = MTUBPLTrainer(_cfg(scan_branches=True))
+    t_unroll = MTUBPLTrainer(_cfg(unroll_branches=True))
+    sched = t_scan.epoch_schedules(0)
+    args = (sched["cons_weight"], sched["fdl_weight"],
+            sched["pseudo_weight"], sched["ema_alpha"])
+    idxs = jnp.asarray(next(iter(t_scan.make_sampler())))
+    s1, m1 = t_scan.train_step(t_scan.state, idxs, 1, *args)
+    s2, m2 = t_unroll.train_step(t_unroll.state, idxs, 1, *args)
+    for k in ("pec", "mtc", "epc", "fdc"):
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
+                                   rtol=1e-3, atol=1e-6, err_msg=k)
+    lr = t_scan.cfg.lr
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p2 = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=1e-4, atol=2.1 * lr)
+
+
 def test_stream_data_equivalence():
     """Config.stream_data (host-resident training set, per-batch H2D with
     one-batch prefetch) must compute exactly what the resident-gather path

@@ -167,6 +167,13 @@ class Config:
                                         # conv is FASTER at bs=4 where it
                                         # feeds the MXU a 2x batch) — see
                                         # make_branch_forward + docs/PERF.md
+    scan_branches: bool = False         # lax.scan the branch ensemble: the
+                                        # per-branch fwd (+bwd) body compiles
+                                        # ONCE regardless of branch count —
+                                        # plain full-rate convs like unroll
+                                        # but ~2x smaller program / compile
+                                        # time.  Takes precedence over
+                                        # unroll_branches (single-host path)
     # NOTE on BatchNorm under data parallelism: batches are sharded over the
     # 'data' mesh axis with GSPMD, so BN statistics are computed over the
     # GLOBAL logical batch by construction — identical math to single-device

@@ -252,6 +252,51 @@ class BaseTrainer:
         use_smap = mesh is not None and "model" in mesh.axis_names
 
         if not use_smap:
+            if self.cfg.scan_branches:
+                # lax.scan over the stacked branch axis: the per-branch
+                # forward (and, under grad, its backward) is compiled ONCE
+                # as the loop body instead of once per branch — each
+                # iteration runs full-rate plain convs on the whole batch
+                # (no grouped-conv penalty), with program size / compile
+                # time / serialized-executable size ~independent of the
+                # branch count.  The compile-time lever this environment
+                # needs: the remote XLA compile of the fully-unrolled
+                # MT_UBPL step costs ~6 min (docs/PERF.md round-5).
+                #
+                # The body is ALWAYS checkpointed under grad (scan-over-
+                # layers + remat, the standard TPU pairing): without it the
+                # scanned backward stacks every branch's full activation
+                # set as loop residuals, which XLA schedules far less
+                # tightly than the unrolled program's (measured: 50G HBM
+                # demand vs ~14G unrolled at bs=32) — recomputing the
+                # per-branch forward bounds residuals to the iteration
+                # inputs.
+                has_feats = getattr(model, "mode", "default") != "default"
+                scan_remat = remat or train
+
+                def fwd(params_m, bs_m, images):
+                    def body(_, xs):
+                        if stacked_images:
+                            p, b, x = xs
+                        else:
+                            p, b = xs
+                            x = images
+                        (preds, feats), new_bs = forward_heatmaps(
+                            model, p, b, x, train, dtype, remat=scan_remat)
+                        ys = ((preds, feats, new_bs) if has_feats
+                              else (preds, new_bs))
+                        return (), ys
+
+                    xs = ((params_m, bs_m, images) if stacked_images
+                          else (params_m, bs_m))
+                    _, ys = jax.lax.scan(body, (), xs)
+                    if has_feats:
+                        preds, feats, new_bs_m = ys
+                    else:
+                        (preds, new_bs_m), feats = ys, None
+                    return (preds, feats), new_bs_m
+                return fwd
+
             unroll = self.cfg.unroll_branches
             if unroll is None:          # auto: see Config.unroll_branches
                 unroll = self.cfg.train_bs >= 16

@@ -39,9 +39,18 @@ def enable_compilation_cache(path=None):
         return _configured_dir
     import jax
 
+    # Default location: a repo-local dir (beside the package) rather than
+    # $HOME — this host wipes the home directory at round boundaries while
+    # repo-local untracked files survive (BENCH_LAST.json across round 4),
+    # so a warm cache only helps a driver-invoked restart if it lives here.
+    repo_default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".xla_cache")
+    home_default = os.path.join(os.path.expanduser("~"), ".cache",
+                                "ubpl_tpu", "xla")
     path = (path or os.environ.get("UBPL_COMPILE_CACHE")
-            or os.path.join(os.path.expanduser("~"), ".cache", "ubpl_tpu",
-                            "xla"))
+            or (repo_default if os.access(os.path.dirname(repo_default),
+                                          os.W_OK) else home_default))
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
